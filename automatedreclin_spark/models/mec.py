@@ -1,0 +1,321 @@
+"""Unsupervised maximum-entropy classifier (MEC) for record linkage.
+
+Re-expresses the reference's flagship ``mec()`` entry point
+(``unsupervised_learning.R:210-818``, traced in SURVEY.md §3.1) as a
+driver-orchestrated fixed-point loop over an immutable, persisted Ω DataFrame:
+
+  init     exact-agreement seeds (equi-join J3) → U-side "denominator"
+           parameters from all of Ω (one agg pass) → cached denominator column
+  iterate  ratio column (params → Catalyst expr) → ĝ column → n_M = Σĝ (agg)
+           → greedy one-to-one selection (T1) → M-side re-fit (one agg pass
+           over the selected subset) → convergence on driver scalars
+  finish   size / flr / mmr classification-set construction (T3/T4)
+
+Per iteration the distributed work is: 1 aggregation over Ω, 1 selection, and
+1 aggregation over M — all on the persisted gamma base, no shuffle of Ω
+itself. Parameters are tiny driver dicts (K ~ handful of variables).
+
+Scale note: unblocked mode collects (a, b, ratio) for the greedy sweep —
+faithful to the reference's global semantics and fine for candidate-bounded
+inputs. The 10^12-pair path is blocked mode (``block_col=...``), where
+selection runs per block via applyInPandas (see operators/selection.py).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Any
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from automatedreclin_spark.models import families as fam
+from automatedreclin_spark.operators.comparison import comparison_vectors, gamma_name
+from automatedreclin_spark.operators.pairs import exact_match_pairs, has_perfect_agreement
+from automatedreclin_spark.operators.selection import (
+    SelectionSummary,
+    select_mec_pairs,
+    summarize_mec_selection,
+)
+from automatedreclin_spark.evaluation import evaluation, get_metrics, get_confusion
+
+ALLOWED_METHODS = ("binary", "continuous_parametric", "continuous_nonparametric")
+
+
+@dataclass
+class MecResult:
+    M_est: DataFrame                      # selected pairs (a, b, ratio)
+    n_M_est: float
+    flr_est: float
+    mmr_est: float
+    iter_bisection: int | None
+    n: int                                # |Ω|
+    n_iter: int
+    variables: list[str]
+    set_construction: str
+    b_params: pd.DataFrame | None = None
+    cpar_params: pd.DataFrame | None = None
+    eval_metrics: dict[str, float] | None = None
+    confusion: list[list[int]] | None = None
+    scored: DataFrame | None = None       # final Ω with ratio / g_est columns
+    dropped_variables: list[str] = field(default_factory=list)
+    convergence_reason: str | None = None
+
+
+def _validate_methods(methods: dict[str, str] | None, variables: list[str]) -> dict[str, str]:
+    """Default every variable to `binary`; whitelist check (reference
+    ``validate_methods`` internals.R:171-195)."""
+    methods = dict(methods or {})
+    out = {}
+    for v in variables:
+        m = methods.get(v, "binary")
+        if m not in ALLOWED_METHODS:
+            raise ValueError(f"Method '{m}' for variable '{v}' is not supported. "
+                             f"Allowed: {ALLOWED_METHODS}.")
+        out[v] = m
+    return out
+
+
+def mec(
+    A: DataFrame,
+    B: DataFrame,
+    variables: list[str],
+    comparators: dict | None = None,
+    methods: dict[str, str] | None = None,
+    duplicates_in_A: bool = False,
+    start_params: dict[str, Any] | None = None,
+    set_construction: str = "size",
+    target_rate: float = 0.03,
+    max_iter_bisection: int = 100,
+    tol: float = 0.005,
+    delta: float = 0.5,
+    eps: float = 0.05,
+    max_iter: int = 1000,
+    true_matches: DataFrame | None = None,
+    pairs: DataFrame | None = None,
+    block_col: str | None = None,
+    a_col: str = "a",
+    b_col: str = "b",
+    seed: int = 1,
+    verbose: bool = False,
+) -> MecResult:
+    """Unsupervised MEC fit. ``A`` / ``B`` must carry record-id columns
+    ``a_col`` / ``b_col`` (stable ids — NOT positional indices).
+
+    ``pairs`` restricts Ω to a candidate set (e.g. from blocking); ``block_col``
+    additionally routes the greedy selection through the per-block exact path.
+    """
+    if set_construction not in ("size", "flr", "mmr"):
+        raise ValueError("`set_construction` should be one of: size, flr, mmr.")
+    methods = _validate_methods(methods, variables)
+    if any(v not in A.columns for v in variables):
+        raise ValueError("Not all variables are present in A.")
+    if any(v not in B.columns for v in variables):
+        raise ValueError("Not all variables are present in B.")
+
+    if not has_perfect_agreement(A, B, variables):
+        raise ValueError(
+            "There are no records with perfect agreement on the key variables. "
+            "Please provide relevant datasets."
+        )
+
+    # Exact-agreement seed matches M⁰ (J3, unsupervised_learning.R:267-271).
+    seeds = exact_match_pairs(A, B, variables, a_col=a_col, b_col=b_col)
+
+    kept, dropped = fam.drop_constant_variables(A, B, variables)
+    if not kept:
+        raise ValueError("All key variables are constant; nothing to compare.")
+    variables = kept
+    methods = {v: methods[v] for v in variables}
+    if comparators:
+        comparators = {k: v for k, v in comparators.items() if k in variables}
+
+    cv = comparison_vectors(
+        A, B, variables, comparators=comparators, pairs=pairs,
+        a_col=a_col, b_col=b_col,
+    )
+    omega = cv.omega
+    n = cv.n
+    n_A, n_B = cv.n_A, cv.n_B
+    cap = float(min(n_A, n_B))
+
+    b_vars = [v for v in variables if methods[v] == "binary"]
+    cpar_vars = [v for v in variables if methods[v] == "continuous_parametric"]
+    cnonpar_vars = [v for v in variables if methods[v] == "continuous_nonparametric"]
+    if cnonpar_vars:
+        raise NotImplementedError(
+            "continuous_nonparametric (KLIEP) lands in models/kliep.py; "
+            "use binary or continuous_parametric."
+        )
+    b_gammas = [gamma_name(v) for v in b_vars]
+    cpar_gammas = [gamma_name(v) for v in cpar_vars]
+
+    rng = np.random.default_rng(seed)
+    start_params = dict(start_params or {})
+    if b_vars and "binary" not in start_params:
+        start_params["binary"] = {"theta": rng.uniform(0.9, 1.0, len(b_vars)).tolist()}
+    if cpar_vars and "continuous_parametric" not in start_params:
+        start_params["continuous_parametric"] = {
+            "p_0_M": rng.uniform(0.8, 0.9, len(cpar_vars)).tolist(),
+            "alpha_M": rng.uniform(0.1, 1.0, len(cpar_vars)).tolist(),
+            "beta_M": rng.uniform(10.0, 20.0, len(cpar_vars)).tolist(),
+        }
+
+    # ---- init: U-side ("denominator") parameters from ALL of Ω -------------
+    init_aggs: list = []
+    if b_gammas:
+        init_aggs += fam.binary_fit_aggs(b_gammas, "eta")
+    if cpar_gammas:
+        init_aggs += fam.cpar_fit_aggs(cpar_gammas, "U")
+    init_row = omega.agg(*init_aggs).collect()[0].asDict()
+
+    theta_b = list(start_params.get("binary", {}).get("theta", []))
+    eta_b = [float(init_row[f"eta_{g}"]) for g in b_gammas]
+
+    p_0_M = list(start_params.get("continuous_parametric", {}).get("p_0_M", []))
+    alpha_M = list(start_params.get("continuous_parametric", {}).get("alpha_M", []))
+    beta_M = list(start_params.get("continuous_parametric", {}).get("beta_M", []))
+    p_0_U, alpha_U, beta_U = ([], [], [])
+    if cpar_gammas:
+        p_0_U, alpha_U, beta_U = fam.cpar_params_from_row(init_row, cpar_gammas, "U")
+
+    # Cache the invariant denominator columns (the b_/cpar_denominator trick,
+    # unsupervised_learning.R:380,417) and persist the gamma base once.
+    denom_cols = {}
+    if b_gammas:
+        denom_cols["b_denominator"] = fam.bernoulli_product_expr(b_gammas, eta_b)
+    if cpar_gammas:
+        denom_cols["cpar_denominator"] = fam.hurdle_gamma_product_expr(
+            cpar_gammas, p_0_U, alpha_U, beta_U
+        )
+    omega = omega.withColumns(denom_cols).persist(StorageLevel.MEMORY_AND_DISK)
+
+    def ratio_expr(th_b, p0m, am, bm):
+        expr = F.lit(1.0)
+        if b_gammas:
+            expr = expr * (fam.bernoulli_product_expr(b_gammas, th_b) / F.col("b_denominator"))
+        if cpar_gammas:
+            expr = expr * (
+                fam.hurdle_gamma_product_expr(cpar_gammas, p0m, am, bm)
+                / F.col("cpar_denominator")
+            )
+        return expr
+
+    scored = omega.withColumn("ratio", ratio_expr(theta_b, p_0_M, alpha_M, beta_M))
+
+    # Seed matches within Ω (exact_match_idx, unsupervised_learning.R:313-317).
+    n_M_count = seeds.join(omega.select("a", "b"), ["a", "b"], "left_semi").count()
+    n_M = float(n_M_count)
+
+    theta_b_old = list(theta_b)
+    cpar_old = (list(p_0_M), list(alpha_M), list(beta_M))
+    n_iter = 0
+    convergence_reason = None
+    M_selected: DataFrame | None = None
+
+    while n_iter < max_iter:
+        n_iter += 1
+        # (a) posterior ĝ with n_M = |M_idx| from the previous selection,
+        #     then n_M ← Σĝ capped at min(n_A, n_B).
+        scored = scored.withColumn("g_est", fam.g_est_expr(n_M_count, n))
+        n_M_old = n_M
+        g_sum = scored.agg(F.sum("g_est")).collect()[0][0]
+        n_M = min(float(g_sum), cap)
+
+        # (b) greedy one-to-one M ← top-n_M by ratio (T1).
+        M_selected = select_mec_pairs(
+            scored, n_M, duplicates_in_A=duplicates_in_A, block_col=block_col
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        n_M_count = M_selected.count()
+        if n_M_count == 0:
+            convergence_reason = "empty_selection"
+            break
+
+        # (c) convergence: |Δn_M| < delta or ‖Δparams‖₂ < eps (from iter 2).
+        if n_iter >= 2:
+            old = np.array(theta_b_old + cpar_old[0] + cpar_old[1] + cpar_old[2])
+            new = np.array(theta_b + p_0_M + alpha_M + beta_M)
+            if abs(n_M_old - n_M) < delta:
+                convergence_reason = "n_M_delta"
+                break
+            if len(old) and float(np.linalg.norm(old - new)) < eps:
+                convergence_reason = "param_eps"
+                break
+
+        # (d) re-estimate M-side parameters from the current selection —
+        #     one aggregation pass over M (filtered Ω, no collect of rows).
+        m_aggs: list = []
+        if b_gammas:
+            m_aggs += fam.binary_fit_aggs(b_gammas, "theta")
+        if cpar_gammas:
+            m_aggs += fam.cpar_fit_aggs(cpar_gammas, "M")
+        m_row = M_selected.agg(*m_aggs).collect()[0].asDict()
+
+        if b_gammas:
+            theta_b_old = list(theta_b)
+            theta_b = [float(m_row[f"theta_{g}"]) for g in b_gammas]
+        if cpar_gammas:
+            cpar_old = (list(p_0_M), list(alpha_M), list(beta_M))
+            p_0_M, alpha_M, beta_M = fam.cpar_params_from_row(
+                m_row, cpar_gammas, "M", fallback_beta=cpar_old[2]
+            )
+
+        scored = omega.withColumn("ratio", ratio_expr(theta_b, p_0_M, alpha_M, beta_M))
+        if verbose:
+            print(f"[mec] iter={n_iter} n_M={n_M:.4f} theta_b={theta_b} "
+                  f"p_0_M={p_0_M} alpha_M={alpha_M} beta_M={beta_M}")
+
+    n_M_est = n_M
+    # Final scored Ω for set construction: ratio from the last parameter
+    # update, ĝ from the last loop top (reference keeps both as columns).
+    scored = scored.withColumn("g_est", fam.g_est_expr(n_M_count, n))
+    scored = scored.persist(StorageLevel.MEMORY_AND_DISK)
+
+    summary: SelectionSummary = summarize_mec_selection(
+        scored,
+        n_M_est,
+        duplicates_in_A=duplicates_in_A,
+        set_construction=set_construction,
+        target_rate=target_rate,
+        tol=tol,
+        max_iter=max_iter_bisection,
+        block_col=block_col,
+    )
+    M_est = summary.selected.select("a", "b", "ratio")
+
+    eval_metrics = confusion = None
+    if true_matches is not None:
+        counts = evaluation(M_est, true_matches, n)
+        eval_metrics = get_metrics(counts.TP, counts.FP, counts.FN, counts.TN)
+        confusion = get_confusion(counts.TP, counts.FP, counts.FN, counts.TN)
+
+    def _param_table(cols, **vectors):
+        if not cols:
+            return None
+        return pd.DataFrame({"variable": cols, **vectors})
+
+    return MecResult(
+        M_est=M_est,
+        n_M_est=n_M_est,
+        flr_est=summary.flr_est,
+        mmr_est=summary.mmr_est,
+        iter_bisection=summary.iter,
+        n=n,
+        n_iter=n_iter,
+        variables=variables,
+        set_construction=set_construction,
+        b_params=_param_table(b_gammas, theta=theta_b, eta=eta_b),
+        cpar_params=_param_table(
+            cpar_gammas, p_0_M=p_0_M, alpha_M=alpha_M, beta_M=beta_M,
+            p_0_U=p_0_U, alpha_U=alpha_U, beta_U=beta_U,
+        ),
+        eval_metrics=eval_metrics,
+        confusion=confusion,
+        scored=scored,
+        dropped_variables=dropped,
+        convergence_reason=convergence_reason,
+    )

@@ -1,0 +1,302 @@
+"""Supervised record-linkage model: train on labeled pairs, predict on new data.
+
+Re-expresses ``train_rec_lin()`` (supervised_learning.R:142-434) and
+``predict.rec_lin_model()`` (predict.R:115-273). Training is single-shot —
+M and U are known from labels — so the whole fit is ONE aggregation pass per
+side plus driver-side Newton solves for the Gamma shapes. Prediction scores a
+new Ω with the stored parameters (pure column expression) and derives n_M
+either in closed form (prob-ratio "1") or via a driver-side Newton-accelerated
+fixed point whose every function evaluation is a single agg over the cached
+scored Ω (A11, ``fixed_n_M`` internals.R:558-562).
+"""
+
+from __future__ import annotations
+
+import warnings
+from dataclasses import dataclass, field
+from typing import Callable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from automatedreclin_spark.models import families as fam
+from automatedreclin_spark.models.mec import _validate_methods
+from automatedreclin_spark.operators.comparison import comparison_vectors, gamma_name
+from automatedreclin_spark.operators.pairs import has_perfect_agreement, validate_pairs
+from automatedreclin_spark.operators.selection import summarize_mec_selection
+from automatedreclin_spark.evaluation import evaluation, get_metrics, get_confusion
+
+
+@dataclass
+class RecLinModel:
+    variables: list[str]
+    comparators: dict
+    methods: dict[str, str]
+    prob_ratio: str
+    pi_est: float
+    match_prop: float
+    b_params: pd.DataFrame | None = None
+    cpar_params: pd.DataFrame | None = None
+    #: optional custom classifier: callable(omega_with_gammas) -> DataFrame
+    #: with an added `prob` column (A14 extension point, predict.R:163-194).
+    ml_model: Callable[[DataFrame], DataFrame] | None = None
+
+
+@dataclass
+class RecLinPredictions:
+    M_est: DataFrame
+    n_M_est: float
+    flr_est: float
+    mmr_est: float
+    set_construction: str
+    iter: int | None = None
+    eval_metrics: dict | None = None
+    confusion: list | None = None
+    scored: DataFrame | None = None
+
+
+def train_rec_lin(
+    A: DataFrame,
+    B: DataFrame,
+    matches: DataFrame,
+    variables: list[str],
+    comparators: dict | None = None,
+    methods: dict[str, str] | None = None,
+    prob_ratio: str = "1",
+    a_col: str = "a",
+    b_col: str = "b",
+) -> RecLinModel:
+    """One-shot supervised fit. ``matches`` is DataFrame[a, b] of known match
+    pairs (validated like reference internals.R:122-159)."""
+    if prob_ratio not in ("1", "2"):
+        raise ValueError('`prob_ratio` should be "1" or "2".')
+    methods = _validate_methods(methods, variables)
+
+    if not has_perfect_agreement(A, B, variables):
+        raise ValueError(
+            "There are no records with perfect agreement on the key variables. "
+            "Please provide relevant datasets."
+        )
+
+    kept, dropped = fam.drop_constant_variables(A, B, variables)
+    for v in dropped:
+        warnings.warn(f"The variable {v} has only one unique value and has been removed.")
+    variables = kept
+    methods = {v: methods[v] for v in variables}
+    if comparators:
+        comparators = {k: v for k, v in comparators.items() if k in variables}
+
+    n_A, n_B = A.count(), B.count()
+    validate_pairs(matches, n_A, n_B)
+
+    cv = comparison_vectors(
+        A, B, variables, comparators=comparators, matches=matches,
+        a_col=a_col, b_col=b_col,
+    )
+    omega = cv.omega.persist(StorageLevel.MEMORY_AND_DISK)
+    n = cv.n
+    n_M = matches.count()
+    pi_est = n_M / n
+
+    b_vars = [v for v in variables if methods[v] == "binary"]
+    cpar_vars = [v for v in variables if methods[v] == "continuous_parametric"]
+    cnonpar_vars = [v for v in variables if methods[v] == "continuous_nonparametric"]
+    if cnonpar_vars:
+        raise NotImplementedError("continuous_nonparametric (KLIEP) not yet wired here.")
+    b_gammas = [gamma_name(v) for v in b_vars]
+    cpar_gammas = [gamma_name(v) for v in cpar_vars]
+
+    M = omega.filter(F.col("match") == 1)
+    U = omega.filter(F.col("match") == 0)
+
+    # prob-ratio "2" feasibility: every variable must show agreement among the
+    # nonmatches, else downgrade to "1" with a warning
+    # (supervised_learning.R:220-236).
+    if prob_ratio == "2":
+        checks = []
+        for v in variables:
+            g = F.col(gamma_name(v))
+            agree = (g == 1) if methods[v] == "binary" else (g == 0)
+            checks.append(F.max(agree.cast("int")).alias(v))
+        row = U.agg(*checks).collect()[0].asDict()
+        if not all(row[v] == 1 for v in variables):
+            prob_ratio = "1"
+            warnings.warn(
+                'Some variables lack common values between the unmatches. '
+                'Switching the probability ratio to "1".'
+            )
+
+    denom_df = omega if prob_ratio == "1" else U
+    denom_label = "Omega" if prob_ratio == "1" else "U"
+
+    m_aggs: list = []
+    d_aggs: list = []
+    if b_gammas:
+        m_aggs += fam.binary_fit_aggs(b_gammas, "theta")
+        d_aggs += fam.binary_fit_aggs(b_gammas, "eta")
+    if cpar_gammas:
+        m_aggs += fam.cpar_fit_aggs(cpar_gammas, "M")
+        d_aggs += fam.cpar_fit_aggs(cpar_gammas, "D")
+
+    b_params = cpar_params = None
+    m_row = M.agg(*m_aggs).collect()[0].asDict() if m_aggs else {}
+    d_row = denom_df.agg(*d_aggs).collect()[0].asDict() if d_aggs else {}
+
+    if b_gammas:
+        b_params = pd.DataFrame({
+            "variable": b_gammas,
+            "theta": [float(m_row[f"theta_{g}"]) for g in b_gammas],
+            "eta": [float(d_row[f"eta_{g}"]) for g in b_gammas],
+        })
+    if cpar_gammas:
+        p_0_M, alpha_M, beta_M = fam.cpar_params_from_row(m_row, cpar_gammas, "M")
+        p_0_D, alpha_D, beta_D = fam.cpar_params_from_row(d_row, cpar_gammas, "D")
+        cpar_params = pd.DataFrame({
+            "variable": cpar_gammas,
+            "p_0_M": p_0_M, f"p_0_{denom_label}": p_0_D,
+            "alpha_M": alpha_M, f"alpha_{denom_label}": alpha_D,
+            "beta_M": beta_M, f"beta_{denom_label}": beta_D,
+        })
+
+    omega.unpersist()
+    return RecLinModel(
+        variables=variables,
+        comparators=cv.comparators,
+        methods=methods,
+        prob_ratio=prob_ratio,
+        pi_est=pi_est,
+        match_prop=cv.match_prop,
+        b_params=b_params,
+        cpar_params=cpar_params,
+    )
+
+
+def _score_ratio(omega: DataFrame, model: RecLinModel) -> DataFrame:
+    """Replay the stored parametric ratio on a new Ω (``score_mec_ratio``
+    internals.R:749-831) as one column expression."""
+    expr = F.lit(1.0)
+    denom_label = "Omega" if model.prob_ratio == "1" else "U"
+    if model.b_params is not None:
+        gs = list(model.b_params["variable"])
+        theta = list(model.b_params["theta"])
+        eta = list(model.b_params["eta"])
+        expr = expr * (
+            fam.bernoulli_product_expr(gs, theta) / fam.bernoulli_product_expr(gs, eta)
+        )
+    if model.cpar_params is not None:
+        p = model.cpar_params
+        gs = list(p["variable"])
+        expr = expr * (
+            fam.hurdle_gamma_product_expr(gs, list(p["p_0_M"]), list(p["alpha_M"]), list(p["beta_M"]))
+            / fam.hurdle_gamma_product_expr(
+                gs, list(p[f"p_0_{denom_label}"]), list(p[f"alpha_{denom_label}"]), list(p[f"beta_{denom_label}"])
+            )
+        )
+    return omega.withColumn("ratio", expr)
+
+
+def _fixed_point_newton(f: Callable[[float], float], x0: float, max_iter: int = 50,
+                        tol: float = 1e-6) -> float:
+    """Newton-accelerated fixed point: root of g(x) = f(x) − x with a
+    finite-difference derivative (FixedPoint::FixedPoint(Method="Newton")
+    analogue). Each f() call is one Spark aggregation by construction."""
+    x = x0
+    for _ in range(max_iter):
+        gx = f(x) - x
+        if abs(gx) < tol:
+            return x
+        h = max(1e-4, abs(x) * 1e-4)
+        gxh = f(x + h) - (x + h)
+        deriv = (gxh - gx) / h
+        if deriv == 0 or not (deriv == deriv):  # NaN guard
+            x = f(x)  # fall back to plain iteration
+            continue
+        x_new = x - gx / deriv
+        if x_new < 0:
+            x_new = f(x)
+        if abs(x_new - x) < tol:
+            return x_new
+        x = x_new
+    return x
+
+
+def predict_rec_lin(
+    model: RecLinModel,
+    newdata_A: DataFrame,
+    newdata_B: DataFrame,
+    duplicates_in_A: bool = False,
+    set_construction: str = "size",
+    target_rate: float = 0.03,
+    tol: float = 0.005,
+    max_iter: int = 50,
+    true_matches: DataFrame | None = None,
+    pairs: DataFrame | None = None,
+    block_col: str | None = None,
+    a_col: str = "a",
+    b_col: str = "b",
+) -> RecLinPredictions:
+    """Score new record sets with a trained model and build the match set."""
+    cv = comparison_vectors(
+        newdata_A, newdata_B, model.variables, comparators=model.comparators,
+        pairs=pairs, a_col=a_col, b_col=b_col,
+    )
+    n = cv.n
+    n_A, n_B = cv.n_A, cv.n_B
+    prob_est = model.match_prop / max(n_A, n_B)
+
+    if model.ml_model is not None:
+        scored = model.ml_model(cv.omega)
+        scored = scored.withColumn(
+            "ratio",
+            F.col("prob") * (1.0 - prob_est) / ((1.0 - F.col("prob")) * prob_est),
+        )
+    else:
+        scored = _score_ratio(cv.omega, model)
+    scored = scored.persist(StorageLevel.MEMORY_AND_DISK)
+
+    n_M_start = float(min(n_A, n_B))
+    if model.prob_ratio == "1" and model.ml_model is None:
+        # Ratio-I shortcut: ĝ = min(prob_est · r, 1) (predict.R:202-207).
+        scored = scored.withColumn(
+            "g_est", F.least(F.lit(1.0), F.lit(prob_est) * F.col("ratio"))
+        )
+        g_sum = scored.agg(F.sum("g_est")).collect()[0][0]
+        n_M_est = min(float(g_sum), n_M_start)
+    else:
+        # Fixed-point Newton for n_M (predict.R:208-217); each evaluation is
+        # one agg over the cached scored Ω.
+        def f(n_M: float) -> float:
+            return float(
+                scored.agg(F.sum(fam.g_est_expr(n_M, n))).collect()[0][0]
+            )
+
+        n_M_est = _fixed_point_newton(f, n_M_start, max_iter=50)
+        n_M_est = float(round(max(0.0, min(n_M_est, n_M_start))))
+        scored = scored.withColumn("g_est", fam.g_est_expr(n_M_est, n))
+
+    summary = summarize_mec_selection(
+        scored, n_M_est, duplicates_in_A=duplicates_in_A,
+        set_construction=set_construction, target_rate=target_rate,
+        tol=tol, max_iter=max_iter, block_col=block_col,
+    )
+    M_est = summary.selected.select("a", "b", "ratio")
+
+    eval_metrics = confusion = None
+    if true_matches is not None:
+        counts = evaluation(M_est, true_matches, n)
+        eval_metrics = get_metrics(counts.TP, counts.FP, counts.FN, counts.TN)
+        confusion = get_confusion(counts.TP, counts.FP, counts.FN, counts.TN)
+
+    return RecLinPredictions(
+        M_est=M_est,
+        n_M_est=n_M_est,
+        flr_est=summary.flr_est,
+        mmr_est=summary.mmr_est,
+        set_construction=set_construction,
+        iter=summary.iter,
+        eval_metrics=eval_metrics,
+        confusion=confusion,
+        scored=scored,
+    )

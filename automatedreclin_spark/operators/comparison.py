@@ -1,0 +1,152 @@
+"""Comparison-vector computation: the central Ω DataFrame (SURVEY.md §2.3).
+
+Re-expresses the reference's ``comparison_vectors()``
+(``comparison_vectors.R:56-195``): for each candidate pair (a, b) and each key
+variable k, compute ``gamma_k = comparator_k(A.k, B.k)`` as one derived column.
+The pair table carries both sides' key variables after two hash joins
+(broadcast when small); each gamma is either a Catalyst expression or an
+Arrow-batched pandas UDF — Catalyst prunes the raw variable columns away after
+projection, so at scale only (a, b, block, gamma_*) flow downstream.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from automatedreclin_spark.functions.comparators import Comparator, cmp_identical
+from automatedreclin_spark.operators.pairs import cross_pairs, label_pairs
+
+
+@dataclass
+class ComparisonVectors:
+    """Result bundle mirroring the reference's `comparison_vectors` S3 object
+    (``comparison_vectors.R:187-195``)."""
+
+    omega: DataFrame
+    variables: list[str]
+    comparators: dict[str, Comparator]
+    n_A: int
+    n_B: int
+    n: int
+    match_prop: float | None = None
+    gamma_cols: list[str] = field(default_factory=list)
+
+
+def gamma_name(variable: str) -> str:
+    return f"gamma_{variable}"
+
+
+def comparison_vectors(
+    A: DataFrame,
+    B: DataFrame,
+    variables: list[str],
+    comparators: dict[str, Comparator] | None = None,
+    pairs: DataFrame | None = None,
+    matches: DataFrame | None = None,
+    a_col: str = "a",
+    b_col: str = "b",
+    check_finite: bool = True,
+    broadcast_records: bool = False,
+) -> ComparisonVectors:
+    """Build Ω with one ``gamma_<var>`` double per key variable.
+
+    Parameters
+    ----------
+    A, B : record DataFrames carrying id columns ``a_col`` / ``b_col`` plus the
+        key variables. Must be duplicate-free on the id.
+    pairs : optional candidate pairs (a, b[, block]); defaults to the full
+        cross product (small data only — reference J1).
+    matches : optional known-match pairs (a, b) → adds a 0/1 ``match`` column.
+    check_finite : run the non-finite gamma guard (one agg pass; reference
+        hard-errors on NA/Inf comparisons, ``comparison_vectors.R:153-172``).
+    broadcast_records : hint-broadcast A/B into the pair join (small dims).
+    """
+    missing_a = [v for v in variables if v not in A.columns]
+    missing_b = [v for v in variables if v not in B.columns]
+    if missing_a:
+        raise ValueError("Not all variables are present in A.")
+    if missing_b:
+        raise ValueError("Not all variables are present in B.")
+    if not variables:
+        raise ValueError("`variables` should contain at least one variable.")
+
+    comparators = dict(comparators or {})
+    for v in variables:
+        comparators.setdefault(v, cmp_identical())
+    comparators = {v: comparators[v] for v in variables}
+
+    n_A = A.count()
+    n_B = B.count()
+
+    if pairs is None:
+        pair_df = cross_pairs(A, B, a_col=a_col, b_col=b_col)
+    else:
+        pair_df = pairs.withColumnsRenamed({a_col: "a", b_col: "b"}) if (
+            a_col != "a" or b_col != "b"
+        ) else pairs
+
+    a_vars = A.select(F.col(a_col).alias("a"), *[F.col(v).alias(f"_a_{v}") for v in variables])
+    b_vars = B.select(F.col(b_col).alias("b"), *[F.col(v).alias(f"_b_{v}") for v in variables])
+    if broadcast_records:
+        a_vars = F.broadcast(a_vars)
+        b_vars = F.broadcast(b_vars)
+
+    omega = pair_df.join(a_vars, "a").join(b_vars, "b")
+
+    gamma_cols = []
+    gamma_exprs = {}
+    for v in variables:
+        g = gamma_name(v)
+        gamma_exprs[g] = comparators[v](F.col(f"_a_{v}"), F.col(f"_b_{v}")).cast("double")
+        gamma_cols.append(g)
+    omega = omega.withColumns(gamma_exprs)
+
+    keep = [c for c in pair_df.columns if c in ("a", "b", "block")] + gamma_cols
+    omega = omega.select(*keep)
+
+    if check_finite:
+        _assert_finite_gammas(omega, variables, gamma_cols)
+
+    n = omega.count()
+
+    match_prop = None
+    if matches is not None:
+        omega = label_pairs(omega, matches)
+        n_matches = matches.count()
+        match_prop = n_matches / n * max(n_A, n_B) if n else None
+
+    return ComparisonVectors(
+        omega=omega,
+        variables=list(variables),
+        comparators=comparators,
+        n_A=n_A,
+        n_B=n_B,
+        n=n,
+        match_prop=match_prop,
+        gamma_cols=gamma_cols,
+    )
+
+
+def _assert_finite_gammas(omega: DataFrame, variables: list[str], gamma_cols: list[str]) -> None:
+    """Non-finite gamma guard (C5) — single aggregation pass over all gamma
+    columns; raises with the reference's message shape."""
+    aggs = [
+        F.sum(
+            F.when(F.col(g).isNull() | F.isnan(g) | (F.abs(F.col(g)) == float("inf")), 1).otherwise(0)
+        ).alias(g)
+        for g in gamma_cols
+    ]
+    counts = omega.agg(*aggs).collect()[0].asDict()
+    bad = [(v, counts[g]) for v, g in zip(variables, gamma_cols) if counts[g]]
+    if bad:
+        details = ", ".join(
+            f"{v} ({c} invalid value{'s' if c != 1 else ''})" for v, c in bad
+        )
+        raise ValueError(
+            "Comparison variables produced missing or non-finite values: "
+            f"{details}. Please handle missing key values or adjust comparators "
+            "before running record linkage."
+        )

@@ -1,0 +1,97 @@
+"""Candidate-pair generation (SURVEY.md §2.2 J1–J7).
+
+Pair tables are ``DataFrame[a: long, b: long]`` keyed by stable record ids —
+NOT positional row indices like the reference (``comparison_vectors.R:95-130``)
+— because positional indexing doesn't survive distribution. Fixtures/wrappers
+assign 1-based ids when reference parity matters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def cross_pairs(A: DataFrame, B: DataFrame, a_col: str = "a", b_col: str = "b") -> DataFrame:
+    """J1 — full Cartesian pair space Ω = A × B (reference
+    ``comparison_vectors.R:136-141``). Only for small inputs; the scale path
+    is :func:`block_pairs`."""
+    return A.select(F.col(a_col).alias("a")).crossJoin(B.select(F.col(b_col).alias("b")))
+
+
+def block_pairs(
+    A: DataFrame,
+    B: DataFrame,
+    block_col: str = "block",
+    a_col: str = "a",
+    b_col: str = "b",
+) -> DataFrame:
+    """J4 — within-block pair expansion: equi-join on the blocking key,
+    deduplicated on (a, b) (reference ``internals.R:718-737`` +
+    dedup/sort ``unsupervised_learning.R:1078-1081``).
+
+    THE scalable candidate generator: the cross product becomes a shuffle on
+    ``block``; AQE skew-join handles moderately hot blocks, and explicitly
+    salted keys (operators/blocking.py) handle pathological ones.
+    Returns columns (block, a, b).
+    """
+    a_side = A.select(F.col(block_col).alias("block"), F.col(a_col).alias("a"))
+    b_side = B.select(F.col(block_col).alias("block"), F.col(b_col).alias("b"))
+    return a_side.join(b_side, "block").dropDuplicates(["a", "b"])
+
+
+def validate_pairs(pairs: DataFrame, n_A: int, n_B: int) -> None:
+    """J2 validation — bounds / integrality / no NULLs / no duplicate pairs
+    (error semantics of ``comparison_vectors.R:95-130``). One aggregation pass.
+    """
+    if not {"a", "b"}.issubset(set(pairs.columns)):
+        raise ValueError("`pairs` should contain columns: a, b.")
+    stats = pairs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("a").isNull() | F.col("b").isNull(), 1).otherwise(0)).alias("nulls"),
+        F.min("a").alias("min_a"),
+        F.max("a").alias("max_a"),
+        F.min("b").alias("min_b"),
+        F.max("b").alias("max_b"),
+        F.count_distinct(F.col("a"), F.col("b")).alias("n_distinct"),
+    ).collect()[0]
+    if stats["nulls"] and stats["nulls"] > 0:
+        raise ValueError("`pairs` cannot contain missing values.")
+    if stats["n"] == 0:
+        return
+    if stats["min_a"] < 1 or stats["min_b"] < 1:
+        raise ValueError("`pairs` should contain positive row indices in columns a and b.")
+    if stats["max_a"] > n_A or stats["max_b"] > n_B:
+        raise ValueError("`pairs` contains row indices outside the input datasets.")
+    if stats["n_distinct"] < stats["n"]:
+        raise ValueError("`pairs` should not contain duplicate record pairs.")
+
+
+def exact_match_pairs(
+    A: DataFrame, B: DataFrame, variables: list[str], a_col: str = "a", b_col: str = "b"
+) -> DataFrame:
+    """J3 — exact-agreement seed join: inner equi-join of A and B on ALL key
+    variables (reference ``exact_match_pairs`` internals.R:740-746). Seeds the
+    unsupervised MEC match set. Returns DataFrame[a, b]."""
+    left = A.select(F.col(a_col).alias("a"), *variables)
+    right = B.select(F.col(b_col).alias("b"), *variables)
+    return left.join(right, on=variables, how="inner").select("a", "b")
+
+
+def has_perfect_agreement(A: DataFrame, B: DataFrame, variables: list[str]) -> bool:
+    """Existence pre-check (reference ``has_perfect_agreement``
+    internals.R:106-112): left-semi join + limit(1) — Catalyst early-outs."""
+    return (
+        A.select(*variables)
+        .join(B.select(*variables), on=variables, how="left_semi")
+        .limit(1)
+        .count()
+        > 0
+    )
+
+
+def label_pairs(omega: DataFrame, matches: DataFrame) -> DataFrame:
+    """J5 — mark Ω rows present in ``matches`` with match=1.0 via left join on
+    (a, b) (reference ``comparison_vectors.R:176-185``)."""
+    flagged = matches.select("a", "b").withColumn("match", F.lit(1.0))
+    return omega.join(flagged, ["a", "b"], "left").fillna({"match": 0.0})

@@ -1,0 +1,251 @@
+"""Greedy one-to-one MEC selection and classification-set construction
+(SURVEY.md §2.5 T1–T4).
+
+The reference's greedy sweep (``select_mec_indices`` internals.R:513-555) is a
+global sequential scan in descending-ratio order keeping a pair iff neither
+record is used, stopping at the n_M budget. Distribution strategy:
+
+- **blocked** (the scale path): records belong to ≤1 disjoint block, so the
+  one-to-one constraint binds only within a block. Run the UNBUDGETED greedy
+  sweep per block via ``applyInPandas`` (exact semantics), then take the
+  global top-round(n_M) survivors by (ratio desc, a, b) — provably identical
+  to the budgeted global sweep because the budget only truncates the scan
+  prefix and scan order IS ratio order.
+- **unblocked**: collect (a, b, ratio) to the driver and sweep there. The
+  unblocked mode is inherently candidate-bounded (the reference is single-node
+  R); blocked mode is what runs at 10^12 scale.
+
+Determinism: every ordering uses the tie-break (ratio, a, b[, block]) —
+mirroring the reference's deterministic tie-breaking (internals.R:1714, 1838).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _round_half_even(x: float) -> int:
+    """R's round(): IEEE round-half-to-even (Python round matches)."""
+    return int(round(x))
+
+
+def greedy_select_local(
+    a: np.ndarray,
+    b: np.ndarray,
+    ratio: np.ndarray,
+    n_M: float,
+    duplicates_in_A: bool = False,
+    ascending: bool = False,
+    invalid_to_never: bool = False,
+) -> np.ndarray:
+    """Exact reference greedy sweep on in-memory arrays
+    (``select_mec_indices`` internals.R:513-555; inverted variant
+    ``select_inverted_mec_indices`` internals.R:1705-1741 with ``ascending=True``
+    and ``invalid_to_never=True``).
+
+    Returns positional indices into the input arrays of the selected pairs, in
+    selection (i.e. sorted) order.
+    """
+    n = len(ratio)
+    n_target = _round_half_even(n_M)
+    if n_target <= 0 or n == 0:
+        return np.empty(0, dtype=np.int64)
+
+    key = np.asarray(ratio, dtype=np.float64).copy()
+    if invalid_to_never:
+        # NA / negative scores are never selectable (internals.R:1712-1713).
+        bad = ~np.isfinite(key) | (key < 0)
+        key[bad] = np.inf if ascending else -np.inf
+    sort_sign = 1.0 if ascending else -1.0
+    order = np.lexsort((np.asarray(b), np.asarray(a), sort_sign * key))
+
+    used_a: set = set()
+    used_b: set = set()
+    selected: list[int] = []
+    for idx in order:
+        if invalid_to_never and not np.isfinite(key[idx]):
+            continue
+        ca = a[idx]
+        if ca in used_a:
+            continue
+        if duplicates_in_A:
+            used_a.add(ca)
+            selected.append(idx)
+        else:
+            cb = b[idx]
+            if cb in used_b:
+                continue
+            used_a.add(ca)
+            used_b.add(cb)
+            selected.append(idx)
+        if len(selected) >= n_M:
+            break
+    return np.asarray(selected[:n_target], dtype=np.int64)
+
+
+def _block_greedy_pdf(pdf: pd.DataFrame, duplicates_in_A: bool, ascending: bool, invalid_to_never: bool) -> pd.DataFrame:
+    """Unbudgeted one-to-one sweep inside a single block (pandas batch)."""
+    idx = greedy_select_local(
+        pdf["a"].to_numpy(),
+        pdf["b"].to_numpy(),
+        pdf["ratio"].to_numpy(),
+        n_M=float(len(pdf)),
+        duplicates_in_A=duplicates_in_A,
+        ascending=ascending,
+        invalid_to_never=invalid_to_never,
+    )
+    return pdf.iloc[idx]
+
+
+def select_mec_pairs(
+    omega: DataFrame,
+    n_M: float,
+    duplicates_in_A: bool = False,
+    block_col: str | None = None,
+    ascending: bool = False,
+    invalid_to_never: bool = False,
+    ratio_col: str = "ratio",
+) -> DataFrame:
+    """Greedy one-to-one selection returning the selected pairs as a DataFrame
+    with the same schema as ``omega`` (filtered).
+
+    ``omega`` must carry columns (a, b, <ratio_col>) and, when ``block_col``
+    is given, the disjoint block id.
+    """
+    n_target = _round_half_even(n_M)
+    if n_target <= 0:
+        return omega.limit(0)
+
+    work = omega.withColumnRenamed(ratio_col, "ratio") if ratio_col != "ratio" else omega
+
+    if block_col is not None:
+        dup, asc, inv = duplicates_in_A, ascending, invalid_to_never
+        survivors = work.groupBy(block_col).applyInPandas(
+            lambda pdf: _block_greedy_pdf(pdf, dup, asc, inv),
+            schema=work.schema,
+        )
+        order_cols = (
+            [F.col("ratio").asc() if ascending else F.col("ratio").desc(), "a", "b"]
+        )
+        selected = survivors.orderBy(*order_cols).limit(n_target)
+    else:
+        local = work.select("a", "b", "ratio").toPandas()
+        idx = greedy_select_local(
+            local["a"].to_numpy(),
+            local["b"].to_numpy(),
+            local["ratio"].to_numpy(),
+            n_M=n_M,
+            duplicates_in_A=duplicates_in_A,
+            ascending=ascending,
+            invalid_to_never=invalid_to_never,
+        )
+        chosen = local.iloc[idx][["a", "b"]]
+        spark = omega.sparkSession
+        if len(chosen) == 0:
+            return omega.limit(0)
+        sel_df = spark.createDataFrame(chosen)
+        selected = work.join(F.broadcast(sel_df), ["a", "b"], "left_semi")
+
+    if ratio_col != "ratio":
+        selected = selected.withColumnRenamed("ratio", ratio_col)
+    return selected
+
+
+@dataclass
+class SelectionSummary:
+    selected: DataFrame
+    flr_est: float
+    mmr_est: float
+    iter: int | None
+
+
+def summarize_mec_selection(
+    omega: DataFrame,
+    n_M_est: float,
+    duplicates_in_A: bool = False,
+    set_construction: str = "size",
+    target_rate: float = 0.03,
+    tol: float = 0.005,
+    max_iter: int = 50,
+    block_col: str | None = None,
+) -> SelectionSummary:
+    """Classification-set construction (reference ``summarize_mec_selection``
+    internals.R:424-508): size-based greedy set, or FLR/MMR-targeted threshold
+    bisection.
+
+    The bisection needs only the cumulative ĝ along descending ratio. We
+    aggregate ``groupBy(ratio) → (count, Σĝ)`` ONCE (distinct ratios are far
+    fewer than pairs — 2^K values for binary gammas), cumsum on the driver,
+    and bisect against that table; the final set is a simple
+    ``filter(ratio ≥ t)`` (threshold sets are not one-to-one constrained, by
+    reference semantics).
+    """
+    if set_construction not in ("size", "flr", "mmr"):
+        raise ValueError("`set_construction` should be one of: size, flr, mmr.")
+
+    if set_construction == "size":
+        selected = select_mec_pairs(
+            omega, n_M_est, duplicates_in_A=duplicates_in_A, block_col=block_col
+        )
+        agg = selected.agg(
+            F.count(F.lit(1)).alias("n_sel"), F.sum("g_est").alias("g_sum")
+        ).collect()[0]
+        n_sel = agg["n_sel"]
+        if n_sel == 0:
+            return SelectionSummary(selected, float("inf"), 1.0, None)
+        g_sum = float(agg["g_sum"])
+        flr_est = 1.0 - g_sum / n_sel
+        mmr_est = max(0.0, min(1.0, 1.0 - g_sum / n_sel))
+        return SelectionSummary(selected, flr_est, mmr_est, None)
+
+    stats = (
+        omega.groupBy("ratio")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("g_est").alias("g_sum"))
+        .orderBy(F.col("ratio").desc())
+        .toPandas()
+    )
+    ratios = stats["ratio"].to_numpy(dtype=np.float64)
+    cum_n = stats["cnt"].to_numpy(dtype=np.int64).cumsum()
+    cum_g = stats["g_sum"].to_numpy(dtype=np.float64).cumsum()
+
+    def n_and_g_at(threshold: float) -> tuple[int, float]:
+        # pairs with ratio >= threshold  (findInterval(-t, -ratio_sorted))
+        k = int(np.searchsorted(-ratios, -threshold, side="right"))
+        if k == 0:
+            return 0, 0.0
+        return int(cum_n[k - 1]), float(cum_g[k - 1])
+
+    min_t, max_t = float(ratios[-1]), float(ratios[0])
+    threshold = (min_t + max_t) / 2.0
+    it = 0
+    while it < max_iter:
+        n_sel, g_at = n_and_g_at(threshold)
+        if set_construction == "flr":
+            rate = float("inf") if n_sel == 0 else (n_sel - g_at) / n_sel
+        else:
+            rate = 1.0 if (n_sel == 0 or n_M_est <= 0) else 1.0 - g_at / n_M_est
+        if abs(rate - target_rate) <= tol:
+            break
+        if rate < target_rate:
+            if set_construction == "flr":
+                max_t = threshold
+            else:
+                min_t = threshold
+        else:
+            if set_construction == "flr":
+                min_t = threshold
+            else:
+                max_t = threshold
+        threshold = (min_t + max_t) / 2.0
+        it += 1
+
+    n_sel, g_at = n_and_g_at(threshold)
+    selected = omega.filter(F.col("ratio") >= threshold) if n_sel > 0 else omega.limit(0)
+    flr_est = float("inf") if n_sel == 0 else (n_sel - g_at) / n_sel
+    mmr_est = 1.0 if (n_sel == 0 or n_M_est <= 0) else 1.0 - g_at / n_M_est
+    return SelectionSummary(selected, flr_est, mmr_est, it)

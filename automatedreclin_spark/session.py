@@ -1,0 +1,72 @@
+"""SparkSession factory tuned for the linkage workload.
+
+Local testing runs on ``local[$SPARK_GRAFT_CPUS]`` (default all cores); the
+same configuration block is what we'd pass to ``spark-submit`` on a real
+cluster — AQE with skew-join splitting enabled, Arrow for pandas UDFs, and a
+shuffle-partition count sized for the sandbox (32) that AQE coalesces/splits
+at runtime.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "automatedreclin-spark",
+    cpus: int | str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Create (or reuse) a SparkSession with linkage-appropriate defaults.
+
+    Parameters
+    ----------
+    cpus: local parallelism (``local[cpus]``); defaults to $SPARK_GRAFT_CPUS
+        or all cores. Pass explicitly to run scaling experiments
+        (e.g. 8 vs 32).
+    shuffle_partitions: initial shuffle parallelism; AQE coalesces at runtime.
+    """
+    if cpus is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+
+    # Make this package importable in executor Python workers regardless of
+    # the driver script's cwd (applyInPandas / pandas-UDF closures reference
+    # it). Local mode: workers inherit PYTHONPATH from the driver process.
+    # Real cluster: ship the package with `spark-submit --py-files pkg.zip`.
+    pkg_parent = str(Path(__file__).resolve().parents[1])
+    pypath = os.environ.get("PYTHONPATH", "")
+    if pkg_parent not in pypath.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_parent + (os.pathsep + pypath if pypath else "")
+        )
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        # Adaptive execution: runtime coalescing of shuffle partitions and
+        # skew-join splitting — hot blocks in the candidate-pair join get
+        # split without manual salting for moderate skew (we still salt
+        # pathological blocks explicitly, see operators/blocking.py).
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Arrow transfer for pandas UDFs (comparators) — mandatory for the
+        # vectorized comparison-vector stage.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # Keep the UI off in the sandbox.
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

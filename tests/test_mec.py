@@ -1,0 +1,86 @@
+"""End-to-end unsupervised MEC goldens (reference inst/tinytest/test_mec.R)."""
+
+import pytest
+
+from automatedreclin_spark.fixtures import name_examples
+from automatedreclin_spark.functions.comparators import jarowinkler_complement
+from automatedreclin_spark.models.mec import mec
+
+
+@pytest.fixture(scope="module")
+def data(spark):
+    return name_examples(spark)
+
+
+def test_binary_mec_golden(data):
+    A, B, true = data
+    res = mec(A, B, variables=["name", "surname"], true_matches=true)
+    m = res.M_est.orderBy("a").toPandas()
+    assert list(m["a"]) == [1, 2, 3, 4]
+    assert list(m["b"]) == [1, 2, 3, 4]
+    assert list(m["ratio"]) == pytest.approx([720.0] * 4, rel=1e-9)
+    # b_params golden (test_mec.R:39-43)
+    assert list(res.b_params["theta"]) == pytest.approx([1.0, 1.0], abs=1e-12)
+    assert list(res.b_params["eta"]) == pytest.approx(
+        [0.04166666666666667, 0.03333333333333333], abs=1e-12
+    )
+    # eval goldens: FLR=0, MMR=0.5, confusion (4,0,4,112) (test_mec.R:45-53)
+    assert res.eval_metrics["FLR"] == 0.0
+    assert res.eval_metrics["MMR"] == 0.5
+    assert res.confusion == [[4, 4], [0, 112]]
+    assert res.n == 120
+
+
+def test_cpar_mec_golden(data):
+    A, B, true = data
+    comp = {"name": jarowinkler_complement(), "surname": jarowinkler_complement()}
+    meth = {"name": "continuous_parametric", "surname": "continuous_parametric"}
+    res = mec(A, B, variables=["name", "surname"], comparators=comp, methods=meth,
+              true_matches=true)
+    m = res.M_est.orderBy("a").toPandas()
+    # cpar selects all 8 true matches (test_mec.R:66-70)
+    assert list(m["a"]) == list(range(1, 9))
+    assert list(m["b"]) == list(range(1, 9))
+
+    p = res.cpar_params
+    # Exact aggregate goldens (test_mec.R:72-82).
+    assert list(p["p_0_M"]) == pytest.approx([0.625, 0.5], abs=1e-12)
+    assert list(p["p_0_U"]) == pytest.approx(
+        [0.041666666666666664, 0.03333333333333333], abs=1e-12
+    )
+    # Gamma shapes: the R goldens come from an nleqslv run that stops short of
+    # the true root (f(golden) ≈ -0.03, f(ours) ≈ 1e-14) — assert 1% parity
+    # plus our own exact-root property (tests/test_numerics.py).
+    assert list(p["alpha_M"]) == pytest.approx([138.4622794465536, 120.6657058981201], rel=0.02)
+    assert list(p["beta_M"]) == pytest.approx([2199.106791209967, 1974.529732878328], rel=0.02)
+    assert list(p["alpha_U"]) == pytest.approx([6.516735740295028, 4.622775398311523], rel=0.02)
+    assert list(p["beta_U"]) == pytest.approx([11.173089162681424, 7.167260899080440], rel=0.02)
+    # mmr_est == flr_est for the size construction here (test_mec.R:95-104)
+    assert res.mmr_est == pytest.approx(res.flr_est)
+
+
+def test_mec_flr_mmr_constructions(data):
+    A, B, _ = data
+    comp = {"name": jarowinkler_complement(), "surname": jarowinkler_complement()}
+    meth = {"name": "continuous_parametric", "surname": "continuous_parametric"}
+    for sc in ("flr", "mmr"):
+        res = mec(A, B, variables=["name", "surname"], comparators=comp,
+                  methods=meth, set_construction=sc, target_rate=0.05)
+        assert 0 <= res.flr_est <= 1
+        assert 0 <= res.mmr_est <= 1
+
+
+def test_mec_requires_perfect_agreement(spark):
+    import pandas as pd
+    A = spark.createDataFrame(pd.DataFrame({"a": [1], "name": ["x"]}))
+    B = spark.createDataFrame(pd.DataFrame({"b": [1], "name": ["y"]}))
+    with pytest.raises(ValueError, match="perfect agreement"):
+        mec(A, B, variables=["name"])
+
+
+def test_mec_one_to_one_contract(data):
+    A, B, _ = data
+    res = mec(A, B, variables=["name", "surname"])
+    m = res.M_est.toPandas()
+    assert m["a"].is_unique and m["b"].is_unique
+    assert len(m) == round(res.n_M_est)

@@ -1,0 +1,113 @@
+"""Greedy one-to-one selection semantics.
+
+The ascending/invalid-guard unit vectors are ported verbatim from the
+reference golden tests (inst/tinytest/test_mec_blocking.R:37-76)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from automatedreclin_spark.operators.selection import (
+    greedy_select_local,
+    select_mec_pairs,
+    summarize_mec_selection,
+)
+
+
+def _pairs(selected_idx, a, b):
+    return {(a[i], b[i]) for i in selected_idx}
+
+
+def test_inverted_greedy_reference_vectors():
+    # internals select_inverted_mec_indices golden cases
+    a = np.array([1, 1, 2, 2]); b = np.array([1, 2, 1, 2])
+    ratio = np.array([2.0, 0.1, 0.2, np.inf])
+    sel = greedy_select_local(a, b, ratio, n_M=2, ascending=True, invalid_to_never=True)
+    assert _pairs(sel, a, b) == {(1, 2), (2, 1)}
+
+    a = np.array([1, 2]); b = np.array([1, 2])
+    sel = greedy_select_local(a, b, np.array([np.nan, 0.5]), n_M=1,
+                              ascending=True, invalid_to_never=True)
+    assert _pairs(sel, a, b) == {(2, 2)}
+
+    sel = greedy_select_local(a, b, np.array([-1.0, 0.3]), n_M=1,
+                              ascending=True, invalid_to_never=True)
+    assert _pairs(sel, a, b) == {(2, 2)}
+
+    sel = greedy_select_local(a, b, np.array([0.1, 0.2]), n_M=0,
+                              ascending=True, invalid_to_never=True)
+    assert len(sel) == 0
+
+
+def test_descending_greedy_one_to_one():
+    a = np.array([1, 1, 2, 2])
+    b = np.array([1, 2, 1, 2])
+    ratio = np.array([10.0, 9.0, 8.0, 1.0])
+    sel = greedy_select_local(a, b, ratio, n_M=4)
+    # (1,1) taken first; (1,2)/(2,1) blocked by used records; (2,2) next
+    assert _pairs(sel, a, b) == {(1, 1), (2, 2)}
+
+
+def test_duplicates_in_A_only_constrains_a():
+    a = np.array([1, 1, 2])
+    b = np.array([1, 1, 1])
+    ratio = np.array([5.0, 4.0, 3.0])
+    sel = greedy_select_local(a, b, ratio, n_M=3, duplicates_in_A=True)
+    assert _pairs(sel, a, b) == {(1, 1), (2, 1)}
+
+
+def test_round_half_even_budget():
+    a = np.arange(1, 6); b = np.arange(1, 6)
+    ratio = np.array([5.0, 4.0, 3.0, 2.0, 1.0])
+    # n_M = 2.5 -> round-half-even = 2
+    assert len(greedy_select_local(a, b, ratio, n_M=2.5)) == 2
+    # n_M = 3.5 -> 4
+    assert len(greedy_select_local(a, b, ratio, n_M=3.5)) == 4
+
+
+def test_blocked_equals_unblocked(spark):
+    rng = np.random.default_rng(3)
+    n = 400
+    pdf = pd.DataFrame({
+        "a": rng.integers(1, 60, n),
+        "b": rng.integers(1, 60, n),
+        "ratio": rng.uniform(0, 10, n),
+    }).drop_duplicates(["a", "b"])
+    # disjoint blocks: block id determined by a-range so records stay in one block
+    pdf["block"] = (pdf["a"] % 4).astype("int64")
+    pdf = pdf[(pdf["b"] % 4) == (pdf["a"] % 4)]  # keep b in the same block partitioning
+    df = spark.createDataFrame(pdf)
+    n_M = 25.0
+    blocked = select_mec_pairs(df, n_M, block_col="block").select("a", "b").toPandas()
+    unblocked = select_mec_pairs(df, n_M).select("a", "b").toPandas()
+    key = lambda p: set(map(tuple, p.to_numpy()))
+    assert key(blocked) == key(unblocked)
+
+
+def test_summarize_size_mode(spark):
+    pdf = pd.DataFrame({
+        "a": [1, 2, 3, 4], "b": [1, 2, 3, 4],
+        "ratio": [100.0, 50.0, 2.0, 0.1],
+        "g_est": [1.0, 0.9, 0.3, 0.0],
+    })
+    df = spark.createDataFrame(pdf)
+    s = summarize_mec_selection(df, n_M_est=2.0, set_construction="size")
+    sel = s.selected.orderBy("a").toPandas()
+    assert list(sel["a"]) == [1, 2]
+    assert s.flr_est == pytest.approx(1 - (1.0 + 0.9) / 2)
+    assert s.mmr_est == pytest.approx(max(0.0, min(1.0, 1 - 1.9 / 2)))
+
+
+def test_summarize_flr_bisection(spark):
+    rng = np.random.default_rng(5)
+    n = 500
+    ratio = np.concatenate([rng.uniform(50, 100, 50), rng.uniform(0, 1, n - 50)])
+    g = np.where(ratio > 10, 0.98, 0.02)
+    pdf = pd.DataFrame({"a": np.arange(n), "b": np.arange(n), "ratio": ratio, "g_est": g})
+    df = spark.createDataFrame(pdf)
+    s = summarize_mec_selection(df, n_M_est=50.0, set_construction="flr",
+                                target_rate=0.03, tol=0.01)
+    assert 0 <= s.flr_est <= 1
+    n_sel = s.selected.count()
+    assert 0 < n_sel <= n

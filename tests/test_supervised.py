@@ -1,0 +1,121 @@
+"""Supervised train/predict goldens (reference
+inst/tinytest/test_supervised_learning.R)."""
+
+import pandas as pd
+import pytest
+
+from automatedreclin_spark.functions.comparators import jarowinkler_complement
+from automatedreclin_spark.models.supervised import predict_rec_lin, train_rec_lin
+
+from tests.test_comparison_vectors import DF_1, DF_2, MATCHES
+
+DF_NEW_1 = pd.DataFrame({
+    "a": range(1, 6),
+    "name": ["John", "Emily", "Mark", "Anna", "David"],
+    "surname": ["Smith", "Johnson", "Taylor", "Williams", "Brown"],
+})
+DF_NEW_2 = pd.DataFrame({
+    "b": range(1, 5),
+    "name": ["John", "Emely", "Mark", "Michael"],
+    "surname": ["Smitth", "Johnson", "Tailor", "Henders"],
+})
+
+
+@pytest.fixture(scope="module")
+def tables(spark):
+    return (
+        spark.createDataFrame(DF_1),
+        spark.createDataFrame(DF_2),
+        spark.createDataFrame(MATCHES),
+        spark.createDataFrame(DF_NEW_1),
+        spark.createDataFrame(DF_NEW_2),
+        spark.createDataFrame(pd.DataFrame({"a": [1, 2, 3], "b": [1, 2, 3]})),
+    )
+
+
+def test_train_binary_goldens(tables):
+    A, B, matches, *_ = tables
+    model = train_rec_lin(A, B, matches, variables=["name", "surname"])
+    assert list(model.b_params["theta"]) == pytest.approx([0.5, 0.5], abs=1e-12)
+    assert list(model.b_params["eta"]) == pytest.approx([0.02, 0.02], abs=1e-12)
+    assert model.pi_est == pytest.approx(0.04)
+    assert model.match_prop == pytest.approx(0.4)
+
+
+def test_prob_ratio_2_downgrade_warning(tables):
+    A, B, matches, *_ = tables
+    with pytest.warns(UserWarning, match='Switching the probability ratio to "1"'):
+        model = train_rec_lin(A, B, matches, variables=["name", "surname"],
+                              prob_ratio="2")
+    assert model.prob_ratio == "1"
+
+
+def test_train_cpar_goldens(tables):
+    A, B, matches, *_ = tables
+    comp = {"name": jarowinkler_complement(), "surname": jarowinkler_complement()}
+    meth = {"name": "continuous_parametric", "surname": "continuous_parametric"}
+    model = train_rec_lin(A, B, matches, variables=["name", "surname"],
+                          comparators=comp, methods=meth)
+    p = model.cpar_params
+    assert list(p["p_0_M"]) == pytest.approx([0.5, 0.5], abs=1e-12)
+    assert list(p["p_0_Omega"]) == pytest.approx([0.02, 0.02], abs=1e-12)
+    # Gamma shapes at 2% (R golden solver under-converges; see test_mec.py).
+    assert list(p["alpha_M"]) == pytest.approx([224.66614858286, 15.6594672317296], rel=0.02)
+    assert list(p["alpha_Omega"]) == pytest.approx([5.40715230665299, 6.10501979494463], rel=0.02)
+    assert list(p["beta_M"]) == pytest.approx([2516.26086412805, 176.169006356958], rel=0.02)
+    assert list(p["beta_Omega"]) == pytest.approx([7.97541509248072, 9.36329003837691], rel=0.02)
+
+
+def test_predict_binary_goldens(tables):
+    A, B, matches, newA, newB, _ = tables
+    model = train_rec_lin(A, B, matches, variables=["name", "surname"])
+    pred = predict_rec_lin(model, newA, newB)
+    m = pred.M_est.orderBy("a").toPandas()
+    assert list(m["a"]) == [1, 2, 3]
+    assert list(m["b"]) == [1, 2, 3]
+    assert list(m["ratio"]) == pytest.approx([12.755102040816336] * 3, rel=1e-9)
+    assert pred.n_M_est == pytest.approx(3.3540191586838794, rel=1e-9)
+
+
+def test_predict_cpar_goldens(tables):
+    A, B, matches, newA, newB, true = tables
+    comp = {"name": jarowinkler_complement(), "surname": jarowinkler_complement()}
+    meth = {"name": "continuous_parametric", "surname": "continuous_parametric"}
+    model = train_rec_lin(A, B, matches, variables=["name", "surname"],
+                          comparators=comp, methods=meth)
+    pred = predict_rec_lin(model, newA, newB, true_matches=true)
+    m = pred.M_est.orderBy("a").toPandas()
+    assert list(m["a"]) == [1, 3]
+    assert list(m["b"]) == [1, 3]
+    assert pred.n_M_est == pytest.approx(2.0000005610797560, rel=1e-4)
+    assert pred.mmr_est == 0
+    assert pred.eval_metrics["FLR"] == 0.0
+    assert pred.eval_metrics["MMR"] == pytest.approx(1 / 3)
+    assert pred.confusion == [[2, 1], [0, 17]]
+
+
+def test_predict_rate_constructions(tables):
+    A, B, matches, newA, newB, _ = tables
+    comp = {"name": jarowinkler_complement(), "surname": jarowinkler_complement()}
+    meth = {"name": "continuous_parametric", "surname": "continuous_parametric"}
+    model = train_rec_lin(A, B, matches, variables=["name", "surname"],
+                          comparators=comp, methods=meth)
+    for sc in ("flr", "mmr"):
+        pred = predict_rec_lin(model, newA, newB, set_construction=sc, target_rate=0.1)
+        assert 0 <= pred.flr_est <= 1
+        assert 0 <= pred.mmr_est <= 1
+
+
+def test_custom_ml_model_plugin(tables):
+    """A14 extension point: any callable producing a `prob` column."""
+    from pyspark.sql import functions as F
+
+    A, B, matches, newA, newB, _ = tables
+    model = train_rec_lin(A, B, matches, variables=["name", "surname"])
+    # toy classifier: prob = 0.9 when names agree, else 0.05
+    model.ml_model = lambda omega: omega.withColumn(
+        "prob", F.when(F.col("gamma_name") == 1, 0.9).otherwise(0.05)
+    )
+    pred = predict_rec_lin(model, newA, newB)
+    m = pred.M_est.toPandas()
+    assert {(r.a, r.b) for r in m.itertuples()} >= {(1, 1), (3, 3)}
