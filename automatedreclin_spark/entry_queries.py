@@ -1,0 +1,451 @@
+"""Driver-contract queries and their DuckDB oracle SQL.
+
+Each entry here is one operator from SURVEY.md §2 (or a training-data-pipeline
+op), expressed twice:
+
+- ``QUERIES[name](spark, sf_dir) -> DataFrame`` — the Spark implementation
+  using this package's operators;
+- ``ORACLES[name]`` — equivalent ANSI SQL for DuckDB over the pre-registered
+  views (region nation customer supplier part orders lineitem events
+  documents embeddings).
+
+Parity anchors used throughout (verified in tests/test_entry.py):
+- ``jaro_similarity`` (DuckDB) == our Jaro kernel == the reference's
+  ``jarowinkler_complement`` base (stringdist jw, p=0)
+- ``levenshtein`` native on both sides
+- shared 60-bit token hash: Spark ``conv(substr(md5(x),1,15),16,10)::long``
+  == DuckDB ``('0x' || substr(md5(x),1,15))::BIGINT``
+- ``sha256`` hex equal on both sides
+
+Linkage queries run over record sets A/B derived deterministically from the
+``customer`` table with SQL-expressible corruption (so the oracle can derive
+the identical sets): A = custkey % 3 ≠ 0; B = custkey % 3 ≠ 1 with the name
+of every custkey % 5 = 0 row corrupted by one edit
+(``Customer#…`` → ``Custmer#…``). Blocking key = c_nationkey.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from automatedreclin_spark.functions.comparators import (
+    cmp_identical,
+    jarowinkler_complement,
+    levenshtein_norm,
+)
+from automatedreclin_spark.models.mec import mec
+from automatedreclin_spark.operators.comparison import comparison_vectors
+from automatedreclin_spark.operators.pairs import block_pairs, exact_match_pairs
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# -------------------------------------------------------- derived A/B views --
+
+def _record_sets(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    cust = _t(spark, sf_dir, "customer")
+    A = (
+        cust.filter(F.col("c_custkey") % 3 != 0)
+        .select(
+            F.col("c_custkey").alias("a"),
+            F.col("c_name").alias("name"),
+            F.col("c_mktsegment").alias("seg"),
+            F.col("c_nationkey").cast("long").alias("block"),
+        )
+    )
+    B = (
+        cust.filter(F.col("c_custkey") % 3 != 1)
+        .select(
+            F.col("c_custkey").alias("b"),
+            F.when(
+                F.col("c_custkey") % 5 == 0,
+                F.regexp_replace(F.col("c_name"), "Customer", "Custmer"),
+            ).otherwise(F.col("c_name")).alias("name"),
+            F.col("c_mktsegment").alias("seg"),
+            F.col("c_nationkey").cast("long").alias("block"),
+        )
+    )
+    return A, B
+
+_SQL_A = """
+    SELECT c_custkey AS a, c_name AS name, c_mktsegment AS seg,
+           CAST(c_nationkey AS BIGINT) AS block
+    FROM customer WHERE c_custkey % 3 <> 0
+"""
+_SQL_B = """
+    SELECT c_custkey AS b,
+           CASE WHEN c_custkey % 5 = 0 THEN replace(c_name, 'Customer', 'Custmer')
+                ELSE c_name END AS name,
+           c_mktsegment AS seg,
+           CAST(c_nationkey AS BIGINT) AS block
+    FROM customer WHERE c_custkey % 3 <> 1
+"""
+
+
+# ------------------------------------------------------------------ queries --
+
+def q_cv_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2/J4: within-block candidate pairs + binary comparison vectors."""
+    A, B = _record_sets(spark, sf_dir)
+    pairs = block_pairs(A, B, dedup=False)
+    cv = comparison_vectors(
+        A, B, ["name", "seg"],
+        comparators={"name": cmp_identical(), "seg": cmp_identical()},
+        pairs=pairs, check_finite=False,
+    )
+    return cv.omega.select("a", "b", "gamma_name", "gamma_seg")
+
+
+ORACLE_CV_BINARY = f"""
+WITH A AS ({_SQL_A}), B AS ({_SQL_B})
+SELECT A.a, B.b,
+       CAST(A.name = B.name AS DOUBLE) AS gamma_name,
+       CAST(A.seg = B.seg AS DOUBLE) AS gamma_seg
+FROM A JOIN B ON A.block = B.block
+"""
+
+
+def q_cv_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C-family: normalized Levenshtein gamma (native both sides), rounded."""
+    A, B = _record_sets(spark, sf_dir)
+    pairs = block_pairs(A, B, dedup=False)
+    cv = comparison_vectors(
+        A, B, ["name"], comparators={"name": levenshtein_norm()},
+        pairs=pairs, check_finite=False,
+    )
+    return cv.omega.select("a", "b", F.round("gamma_name", 6).alias("gamma_name"))
+
+
+ORACLE_CV_LEVENSHTEIN = f"""
+WITH A AS ({_SQL_A}), B AS ({_SQL_B})
+SELECT A.a, B.b,
+       ROUND(CASE WHEN greatest(length(A.name), length(B.name)) = 0 THEN 0.0
+             ELSE CAST(levenshtein(A.name, B.name) AS DOUBLE)
+                  / greatest(length(A.name), length(B.name)) END, 6) AS gamma_name
+FROM A JOIN B ON A.block = B.block
+"""
+
+
+def q_cv_jaro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3: Jaro-complement gamma via Arrow-batched pandas UDF (the reference's
+    jarowinkler_complement, comparators.R:37-42), restricted to same-(block,
+    seg) pairs to bound the pair space."""
+    A, B = _record_sets(spark, sf_dir)
+    pairs = (
+        A.select("block", "seg", "a")
+        .join(B.select("block", "seg", "b"), ["block", "seg"])
+        .select("block", "a", "b")
+    )
+    cv = comparison_vectors(
+        A, B, ["name"], comparators={"name": jarowinkler_complement()},
+        pairs=pairs, check_finite=False,
+    )
+    return cv.omega.select("a", "b", F.round("gamma_name", 6).alias("gamma_name"))
+
+
+ORACLE_CV_JARO = f"""
+WITH A AS ({_SQL_A}), B AS ({_SQL_B})
+SELECT A.a, B.b,
+       ROUND(1.0 - jaro_similarity(A.name, B.name), 6) AS gamma_name
+FROM A JOIN B ON A.block = B.block AND A.seg = B.seg
+"""
+
+
+def q_exact_match_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: exact-agreement seed join on all key variables."""
+    A, B = _record_sets(spark, sf_dir)
+    return exact_match_pairs(A, B, ["name", "seg"])
+
+
+ORACLE_EXACT_SEEDS = f"""
+WITH A AS ({_SQL_A}), B AS ({_SQL_B})
+SELECT A.a, B.b FROM A JOIN B ON A.name = B.name AND A.seg = B.seg
+"""
+
+
+def q_block_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block summary (internals.R:699-704): per-block sizes, pair_count,
+    nonmatches_min."""
+    A, B = _record_sets(spark, sf_dir)
+    a_counts = A.groupBy("block").agg(F.count(F.lit(1)).alias("n_a"))
+    b_counts = B.groupBy("block").agg(F.count(F.lit(1)).alias("n_b"))
+    return (
+        a_counts.join(b_counts, "block", "inner")
+        .select(
+            "block", "n_a", "n_b",
+            (F.col("n_a") * F.col("n_b")).alias("pair_count"),
+            (F.col("n_a") * F.col("n_b") - F.least("n_a", "n_b")).alias("nonmatches_min"),
+        )
+    )
+
+
+ORACLE_BLOCK_SUMMARY = f"""
+WITH A AS ({_SQL_A}), B AS ({_SQL_B}),
+ac AS (SELECT block, COUNT(*) AS n_a FROM A GROUP BY block),
+bc AS (SELECT block, COUNT(*) AS n_b FROM B GROUP BY block)
+SELECT ac.block, n_a, n_b, n_a * n_b AS pair_count,
+       n_a * n_b - least(n_a, n_b) AS nonmatches_min
+FROM ac JOIN bc ON ac.block = bc.block
+"""
+
+
+def q_evaluation_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1/E2: TP/FP/FN + FLR/MMR/F1 for pred = exact-name matches vs truth =
+    same-custkey pairs within the candidate space."""
+    A, B = _record_sets(spark, sf_dir)
+    pairs = block_pairs(A, B, dedup=False)
+    pred = exact_match_pairs(A, B, ["name"]).join(pairs.select("a", "b"), ["a", "b"], "left_semi")
+    truth = pairs.filter(F.col("a") == F.col("b")).select("a", "b")
+    tp = pred.join(truth, ["a", "b"], "inner").count()
+    fp = pred.count() - tp
+    fn = truth.count() - tp
+    flr = 1.0 - (tp / (tp + fp) if tp + fp else 0.0)
+    mmr = fn / (fn + tp) if fn + tp else 0.0
+    f1 = 2 * tp / (2 * tp + fp + fn) if (2 * tp + fp + fn) else 0.0
+    return spark.createDataFrame(
+        pd.DataFrame([{
+            "tp": tp, "fp": fp, "fn": fn,
+            "flr": round(flr, 6), "mmr": round(mmr, 6), "f1": round(f1, 6),
+        }])
+    )
+
+
+ORACLE_EVALUATION = f"""
+WITH A AS ({_SQL_A}), B AS ({_SQL_B}),
+cand AS (SELECT A.a, B.b, A.name AS name_a, B.name AS name_b
+         FROM A JOIN B ON A.block = B.block),
+pred AS (SELECT a, b FROM cand WHERE name_a = name_b),
+truth AS (SELECT a, b FROM cand WHERE a = b),
+counts AS (
+  SELECT
+    (SELECT COUNT(*) FROM pred JOIN truth USING (a, b)) AS tp,
+    (SELECT COUNT(*) FROM pred) AS n_pred,
+    (SELECT COUNT(*) FROM truth) AS n_true
+)
+SELECT tp, n_pred - tp AS fp, n_true - tp AS fn,
+       ROUND(1.0 - CAST(tp AS DOUBLE) / NULLIF(n_pred, 0), 6) AS flr,
+       ROUND(CAST(n_true - tp AS DOUBLE) / NULLIF(n_true, 0), 6) AS mmr,
+       ROUND(2.0 * tp / NULLIF(2.0 * tp + (n_pred - tp) + (n_true - tp), 0), 6) AS f1
+FROM counts
+"""
+
+
+def q_mec_binary_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: blocked unsupervised binary MEC on the derived record sets.
+    Iterative fit — not SQL-expressible; driver records rows-only check."""
+    A, B = _record_sets(spark, sf_dir)
+    pairs = block_pairs(A, B, block_col="block", dedup=False)
+    res = mec(
+        A, B, variables=["name", "seg"],
+        pairs=pairs.select("block", "a", "b"),
+        block_col="block",
+    )
+    return res.M_est.orderBy("a", "b")
+
+
+# ------------------------------------------------- training-data-pipeline ----
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: sha256(content) groups with canonical representative —
+    the per-row invariant hash of BASELINE.json (input_hint). Emits every
+    group so the value-hash check covers all 500 digests."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.sha2(F.col("text"), 256).alias("content_sha"))
+        .agg(F.count(F.lit(1)).alias("n_copies"), F.min("doc_id").alias("canonical_id"))
+    )
+
+
+ORACLE_DEDUP_EXACT = """
+SELECT sha256(text) AS content_sha, COUNT(*) AS n_copies, MIN(doc_id) AS canonical_id
+FROM documents GROUP BY 1
+"""
+
+
+def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + quality signals per document (pure Catalyst)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.round(
+            F.size(F.array_distinct(toks)).cast("double") / F.size(toks), 6
+        ).alias("lexical_diversity"),
+        F.col("n_chars").alias("n_chars"),
+    )
+
+
+ORACLE_TOKEN_STATS = """
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_tokens,
+       len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+       ROUND(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+             / len(string_split(text, ' ')), 6) AS lexical_diversity,
+       n_chars
+FROM documents
+"""
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs by word-set Jaccard ≥ 0.5 within the same lang
+    (exact pairwise — the LSH variant is the scale path)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.array_distinct(F.split(F.col("text"), " ")).alias("toks")
+    )
+    left = docs.select(
+        F.col("lang"), F.col("doc_id").alias("id_a"), F.col("toks").alias("toks_a")
+    )
+    right = docs.select(
+        F.col("lang"), F.col("doc_id").alias("id_b"), F.col("toks").alias("toks_b")
+    )
+    pairs = left.join(right, "lang").filter(F.col("id_a") < F.col("id_b"))
+    jac = F.size(F.array_intersect("toks_a", "toks_b")).cast("double") / F.size(
+        F.array_union("toks_a", "toks_b")
+    )
+    return (
+        pairs.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= 0.5)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+ORACLE_NGRAM_JACCARD = """
+WITH d AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS toks
+           FROM documents)
+SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+       ROUND(CAST(len(list_intersect(x.toks, y.toks)) AS DOUBLE)
+             / len(list_distinct(list_concat(x.toks, y.toks))), 6) AS jaccard
+FROM d x JOIN d y ON x.lang = y.lang AND x.doc_id < y.doc_id
+WHERE CAST(len(list_intersect(x.toks, y.toks)) AS DOUBLE)
+      / len(list_distinct(list_concat(x.toks, y.toks))) >= 0.5
+"""
+
+
+_MINHASH_PERMS = [(1_000_003, 12_345), (999_983, 54_321), (1_000_033, 77_777), (999_979, 13_579)]
+_MERSENNE = (1 << 61) - 1
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (4 permutations) over word tokens, built on the
+    shared md5-derived 60-bit token hash so the oracle reproduces them
+    bit-for-bit. LSH banding/bucketing builds on these (ops/dedup.py)."""
+    docs = _t(spark, sf_dir, "documents")
+    tok_hash = F.conv(
+        F.substring(F.md5(F.col("tok")), 1, 15), 16, 10
+    ).cast("decimal(38,0)")
+    exploded = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("tok")
+    ).withColumn("h", tok_hash)
+    aggs = [
+        F.min(((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(_MERSENNE)).cast("long")).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(_MINHASH_PERMS)
+    ]
+    return exploded.groupBy("doc_id").agg(*aggs)
+
+
+ORACLE_MINHASH = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+  FROM documents
+), hashed AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT)::HUGEINT AS h
+  FROM toks
+)
+SELECT doc_id,
+  {", ".join(
+    f"CAST(MIN(({a}::HUGEINT * h + {b}) % {_MERSENNE}) AS BIGINT) AS mh_{i}"
+    for i, (a, b) in enumerate(_MINHASH_PERMS)
+  )}
+FROM hashed GROUP BY doc_id
+"""
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-3 neighbors for query vectors (vec_id < 10)
+    among the rest — the exactness baseline for ANN (ops/similarity.py)."""
+    from pyspark.sql.window import Window
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v")
+    )
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    c = emb.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv")
+    )
+    dot = F.aggregate(
+        F.zip_with("qv", "cv", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    nq = F.sqrt(F.aggregate("qv", F.lit(0.0), lambda acc, x: acc + x * x))
+    nc = F.sqrt(F.aggregate("cv", F.lit(0.0), lambda acc, x: acc + x * x))
+    scored = q.crossJoin(c).select(
+        "query_id", "neighbor_id", F.round(dot / (nq * nc), 6).alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+ORACLE_ANN_COSINE = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, v AS cv FROM e WHERE vec_id >= 10),
+scored AS (
+  SELECT query_id, neighbor_id,
+         ROUND(list_dot_product(qv, cv) /
+               (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS cosine
+  FROM q CROSS JOIN c
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 3
+"""
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "cv_binary": q_cv_binary,
+    "cv_levenshtein": q_cv_levenshtein,
+    "cv_jaro": q_cv_jaro,
+    "exact_match_seeds": q_exact_match_seeds,
+    "block_summary": q_block_summary,
+    "evaluation_metrics": q_evaluation_metrics,
+    "mec_binary_customer": q_mec_binary_customer,
+    "dedup_exact": q_dedup_exact,
+    "text_token_stats": q_text_token_stats,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "minhash_signatures": q_minhash_signatures,
+    "ann_cosine_topk": q_ann_cosine_topk,
+}
+
+ORACLES: dict[str, str] = {
+    "cv_binary": ORACLE_CV_BINARY,
+    "cv_levenshtein": ORACLE_CV_LEVENSHTEIN,
+    "cv_jaro": ORACLE_CV_JARO,
+    "exact_match_seeds": ORACLE_EXACT_SEEDS,
+    "block_summary": ORACLE_BLOCK_SUMMARY,
+    "evaluation_metrics": ORACLE_EVALUATION,
+    # mec_binary_customer: iterative fixed-point fit — rows-only check.
+    "dedup_exact": ORACLE_DEDUP_EXACT,
+    "text_token_stats": ORACLE_TOKEN_STATS,
+    "ngram_jaccard_pairs": ORACLE_NGRAM_JACCARD,
+    "minhash_signatures": ORACLE_MINHASH,
+    "ann_cosine_topk": ORACLE_ANN_COSINE,
+}

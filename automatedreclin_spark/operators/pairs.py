@@ -25,19 +25,27 @@ def block_pairs(
     block_col: str = "block",
     a_col: str = "a",
     b_col: str = "b",
+    dedup: bool | None = None,
 ) -> DataFrame:
     """J4 — within-block pair expansion: equi-join on the blocking key,
-    deduplicated on (a, b) (reference ``internals.R:718-737`` +
-    dedup/sort ``unsupervised_learning.R:1078-1081``).
+    deduplicated on (a, b) when keys may overlap (reference
+    ``internals.R:718-737`` + dedup/sort ``unsupervised_learning.R:1078-1081``).
 
     THE scalable candidate generator: the cross product becomes a shuffle on
     ``block``; AQE skew-join handles moderately hot blocks, and explicitly
     salted keys (operators/blocking.py) handle pathological ones.
-    Returns columns (block, a, b).
+
+    ``dedup=False`` skips the (a, b) dropDuplicates — a full extra shuffle of
+    the pair table — and is CORRECT whenever each record carries at most one
+    block (disjoint blocking keys). Multi-probe assignments need the default
+    dedup=True. Returns columns (block, a, b).
     """
     a_side = A.select(F.col(block_col).alias("block"), F.col(a_col).alias("a"))
     b_side = B.select(F.col(block_col).alias("block"), F.col(b_col).alias("b"))
-    return a_side.join(b_side, "block").dropDuplicates(["a", "b"])
+    joined = a_side.join(b_side, "block")
+    if dedup is None:
+        dedup = True  # safe default; hot paths pass False for disjoint keys
+    return joined.dropDuplicates(["a", "b"]) if dedup else joined
 
 
 def validate_pairs(pairs: DataFrame, n_A: int, n_B: int) -> None:

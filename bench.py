@@ -1,0 +1,83 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The headline metric is candidate-pair scoring throughput (pairs/sec) over the
+comparison-vector stage — the stage the north rule targets. Full evaluation is
+forced with a noop write so Catalyst can't prune the scored columns away.
+
+Scaling-efficiency evidence (N vs 4N cores) lives in scripts/bench_scaling.py
+→ BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+from automatedreclin_spark.session import get_spark  # noqa: E402
+from automatedreclin_spark.entry_queries import QUERIES  # noqa: E402
+
+BENCH_QUERIES = [
+    "cv_binary",            # J4 block join + binary gammas (Catalyst)
+    "cv_levenshtein",       # native levenshtein gamma
+    "cv_jaro",              # Arrow pandas-UDF gamma
+    "mec_binary_customer",  # full iterative MEC fit + 1:1 selection
+    "dedup_exact",
+    "text_token_stats",
+    "ngram_jaccard_pairs",
+    "minhash_signatures",
+    "ann_cosine_topk",
+]
+
+#: queries whose output rows == scored candidate pairs (throughput basis)
+SCORING_QUERIES = ["cv_binary", "cv_levenshtein", "cv_jaro"]
+
+
+def force(df) -> int:
+    """Force full evaluation of every column; return row count."""
+    df.write.format("noop").mode("overwrite").save()
+    return df.count()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark(app_name="bench", cpus=cpus)
+
+    timings: dict[str, float] = {}
+    scoring_pairs = 0
+    scoring_secs = 0.0
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        n = force(QUERIES[name](spark, sf_dir))
+        dt = time.time() - t0
+        timings[name] = round(dt, 3)
+        if name in SCORING_QUERIES:
+            scoring_pairs += n
+            scoring_secs += dt
+
+    pairs_per_sec = scoring_pairs / scoring_secs if scoring_secs else 0.0
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    print(json.dumps({
+        "metric": "candidate-pair scoring throughput",
+        "value": round(pairs_per_sec, 1),
+        "unit": "pairs/sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cpus": cpus,
+        "scoring_pairs": scoring_pairs,
+        "total_sec": round(sum(timings.values()), 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

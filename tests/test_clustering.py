@@ -1,0 +1,71 @@
+import numpy as np
+import pandas as pd
+import pytest
+
+from automatedreclin_spark.operators.clustering import (
+    cluster_matches,
+    connected_components,
+)
+
+
+def _components_bruteforce(edges):
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(x, y):
+        parent[find(x)] = find(y)
+
+    for u, v in edges:
+        union(u, v)
+    return {n: find(n) for n in parent}
+
+
+def test_connected_components_chain(spark):
+    edges = [(1, 2), (2, 3), (3, 4), (10, 11), (20, 20)]
+    df = spark.createDataFrame(pd.DataFrame(edges, columns=["u", "v"]))
+    out = {r["id"]: r["component"] for r in connected_components(df).collect()}
+    assert out[1] == out[2] == out[3] == out[4] == 1
+    assert out[10] == out[11] == 10
+    assert 20 not in out  # self-loop dropped, node never appears elsewhere
+
+
+def test_connected_components_random_graph(spark):
+    rng = np.random.default_rng(1)
+    edges = [(int(rng.integers(0, 300)), int(rng.integers(0, 300))) for _ in range(400)]
+    edges = [(u, v) for u, v in edges if u != v]
+    df = spark.createDataFrame(pd.DataFrame(edges, columns=["u", "v"]))
+    got = {r["id"]: r["component"] for r in connected_components(df).collect()}
+    truth = _components_bruteforce(edges)
+    # same partition: two nodes share a spark component iff same brute component
+    canon_truth = {}
+    for n, r in truth.items():
+        canon_truth.setdefault(r, set()).add(n)
+    for group in canon_truth.values():
+        comps = {got[n] for n in group}
+        assert len(comps) == 1, f"group split: {group} -> {comps}"
+        # component id = min node id in cluster
+        assert comps.pop() == min(group)
+
+
+def test_cluster_matches_namespaces(spark):
+    # A:1-B:1 and A:2-B:1 chain → single entity containing A1, A2, B1
+    pairs = spark.createDataFrame(pd.DataFrame({"a": [1, 2], "b": [1, 1]}))
+    out = cluster_matches(pairs).toPandas()
+    ents = out.groupby("entity_id").apply(
+        lambda g: {(r.side, r.id) for r in g.itertuples()}, include_groups=False
+    )
+    assert len(ents) == 1
+    assert set(ents.iloc[0]) == {(0, 1), (0, 2), (1, 1)}
+
+
+def test_connected_components_with_checkpoint_dir(spark, tmp_path):
+    edges = [(1, 2), (2, 3), (5, 6)]
+    df = spark.createDataFrame(pd.DataFrame(edges, columns=["u", "v"]))
+    out = {r["id"]: r["component"]
+           for r in connected_components(df, checkpoint_dir=str(tmp_path)).collect()}
+    assert out[3] == 1 and out[6] == 5
