@@ -1,0 +1,467 @@
+"""Blocked unsupervised MEC — the inverted fit on candidate pairs.
+
+Re-expresses ``mec_blocking()`` (unsupervised_learning.R:972-1205) and
+``fit_mec_blocking_inverted_omega`` (internals.R:1953-2222), the reference's
+scale path: blocking bounds the pair space, the classifier is fit INVERTED
+(score s = u/m, ascending greedy selection, q̂ = posterior NONmatch
+probability), and the structural bounds come from the block summary
+(ν = Σ min(n_Ah, n_Bh); n_U_min = N − ν).
+
+Spark execution per iteration (all over one persisted gamma base):
+  1 agg over M (match-side params) → driver Newton with fallback chain
+  1 agg over U_fit (nonmatch-side params)
+  score + q̂ column exprs → 1 agg (Σq̂)
+  per-block ascending greedy (applyInPandas) + global top-k → new M
+  convergence on driver scalars / match-set hash
+
+The optional ``alpha`` nonmatch-drop (T6, spec in
+papers/nonmatch_fraction_spec_updated.pdf) ranks current nonmatches by q̂ and
+drops the top α fraction from the U-side fit; diagnostics mirror the
+reference's reason codes (internals.R:1842-1950).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Any
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+from pyspark.storagelevel import StorageLevel
+
+from automatedreclin_spark.functions.numerics import gamma_shape_newton
+from automatedreclin_spark.models import families as fam
+from automatedreclin_spark.operators.blocking import BlockSummary, block_summary
+from automatedreclin_spark.operators.comparison import comparison_vectors, gamma_name
+from automatedreclin_spark.operators.pairs import block_pairs
+from automatedreclin_spark.operators.selection import select_mec_pairs
+from automatedreclin_spark.evaluation import evaluation, get_metrics, get_confusion
+
+_INF = float("inf")
+
+
+@dataclass
+class BlockedMecResult:
+    M_est: DataFrame                     # (a, b, block, ratio)
+    n_M_est: int
+    n_U_est: int
+    candidate_pair_count: int
+    nu: int
+    n_U_min: int
+    iter: int
+    convergence_reason: str
+    alpha: float
+    n_U_fit: int
+    b_params: pd.DataFrame | None
+    cpar_params: pd.DataFrame | None
+    block_estimates: DataFrame | None
+    u_fit_diagnostics: pd.DataFrame
+    blocking_eval: dict[str, float] | None = None
+    eval_metrics: dict[str, float] | None = None
+    confusion: list[list[int]] | None = None
+    scored: DataFrame | None = None
+
+
+def _estimate_side(
+    df: DataFrame,
+    b_gammas: list[str],
+    cpar_gammas: list[str],
+    side: str,
+    fallback: dict[str, list[float]] | None,
+    context: str = "blocked_mec()",
+) -> dict[str, Any]:
+    """One aggregation pass → binary rates + hurdle-Gamma params with the
+    reference's fallback chain (``estimate_hurdle_gamma_params``
+    internals.R:1443-1502): <2 positives or non-finite estimate → fallback
+    (alpha, beta); no fallback → error."""
+    aggs: list = []
+    if b_gammas:
+        aggs += fam.binary_fit_aggs(b_gammas, "rate")
+    if cpar_gammas:
+        aggs += fam.cpar_fit_aggs(cpar_gammas, "s")
+    row = df.agg(*aggs).collect()[0].asDict()
+
+    out: dict[str, Any] = {}
+    if b_gammas:
+        out["rate"] = [float(row[f"rate_{g}"]) for g in b_gammas]
+    if cpar_gammas:
+        p_0, alpha, beta = [], [], []
+        for i, g in enumerate(cpar_gammas):
+            p_0.append(float(row[f"s_p0_{g}"]))
+            n_pos = int(row[f"s_npos_{g}"] or 0)
+            est_a = est_b = float("nan")
+            if n_pos >= 2:
+                try:
+                    est_a = gamma_shape_newton(
+                        n_pos, float(row[f"s_sum_{g}"]), float(row[f"s_sumlog_{g}"])
+                    )
+                    est_b = est_a / (float(row[f"s_sum_{g}"]) / n_pos)
+                except ValueError:
+                    pass
+            ok = (
+                math.isfinite(est_a) and math.isfinite(est_b)
+                and est_a > 0 and est_b > 0
+            )
+            if not ok:
+                fb_a = fallback["alpha"][i] if fallback else float("nan")
+                fb_b = fallback["beta"][i] if fallback else float("nan")
+                if not (math.isfinite(fb_a) and math.isfinite(fb_b) and fb_a > 0 and fb_b > 0):
+                    raise ValueError(
+                        f"{context} cannot estimate "
+                        f"{'match' if side == 'M' else 'nonmatch'}-side Gamma "
+                        f"parameters for `{g}`; at least two positive continuous "
+                        "comparisons or finite fallback parameters are required."
+                    )
+                est_a, est_b = fb_a, fb_b
+            alpha.append(est_a)
+            beta.append(est_b)
+        out["p_0"] = p_0
+        out["alpha"] = alpha
+        out["beta"] = beta
+    return out
+
+
+def _q_est_expr(n_U: float, N: float):
+    """q̂ = posterior nonmatch prob with the reference's guards
+    (``estimate_inverted_q`` internals.R:1744-1753)."""
+    r = F.col("ratio")
+    denom = n_U * (r - 1.0) + F.lit(float(N))
+    q = n_U * r / denom
+    q = F.least(F.lit(1.0), F.greatest(F.lit(0.0), q))
+    q = F.when(r == _INF, F.lit(1.0)).when((r == 0) & (denom > 0), F.lit(0.0)).otherwise(q)
+    return F.when(q.isNull() | F.isnan(q), F.lit(1.0)).otherwise(q)
+
+
+def blocked_mec(
+    A: DataFrame,
+    B: DataFrame,
+    variables: list[str],
+    comparators: dict | None = None,
+    methods: dict[str, str] | None = None,
+    block_col: str = "block",
+    start_params: dict | None = None,
+    delta: float = 0.5,
+    eps: float = 0.05,
+    alpha: float = 0.0,
+    max_iter: int = 1000,
+    true_matches: DataFrame | None = None,
+    a_col: str = "a",
+    b_col: str = "b",
+    seed: int = 1,
+    checkpoint_dir: str | None = None,
+    verbose: bool = False,
+) -> BlockedMecResult:
+    """Inverted blocked MEC. ``A`` / ``B`` carry stable ids AND a disjoint
+    ``block_col`` (each record in at most one block — see
+    operators/blocking.py for key derivation and the disjointness check).
+
+    Allowed methods: binary / continuous_parametric only (reference restricts
+    the blocked path, unsupervised_learning.R:1002-1006).
+    """
+    if not (isinstance(alpha, (int, float)) and math.isfinite(alpha) and 0 <= alpha < 1):
+        raise ValueError("`alpha` should be a single numeric value in [0, 1).")
+    methods = {v: (methods or {}).get(v, "binary") for v in variables}
+    bad = [v for v, m in methods.items() if m not in ("binary", "continuous_parametric")]
+    if bad:
+        raise ValueError(
+            "mec_blocking supports only binary and continuous_parametric methods "
+            f"(offending: {bad})."
+        )
+
+    # Candidate pairs: within-block products (disjoint keys → no dedup needed),
+    # deterministic (block, a, b) ordering happens only at output.
+    summary = block_summary(
+        A.select(F.col(block_col).alias("block"), F.col(a_col).alias("a")),
+        B.select(F.col(block_col).alias("block"), F.col(b_col).alias("b")),
+    )
+    pairs = block_pairs(A, B, block_col=block_col, a_col=a_col, b_col=b_col, dedup=False)
+    cv = comparison_vectors(
+        A, B, variables, comparators=comparators, pairs=pairs,
+        a_col=a_col, b_col=b_col,
+    )
+    omega = cv.omega
+    N = cv.n
+    nu = summary.nu
+    n_U_min = N - nu
+
+    b_vars = [v for v in variables if methods[v] == "binary"]
+    cpar_vars = [v for v in variables if methods[v] == "continuous_parametric"]
+    b_gammas = [gamma_name(v) for v in b_vars]
+    cpar_gammas = [gamma_name(v) for v in cpar_vars]
+
+    rng = np.random.default_rng(seed)
+    start_params = dict(start_params or {})
+    if cpar_gammas and "continuous_parametric" not in start_params:
+        start_params["continuous_parametric"] = {
+            "p_0_M": rng.uniform(0.8, 0.9, len(cpar_gammas)).tolist(),
+            "alpha_M": rng.uniform(0.1, 1.0, len(cpar_gammas)).tolist(),
+            "beta_M": rng.uniform(10.0, 20.0, len(cpar_gammas)).tolist(),
+        }
+    start_cpar = start_params.get("continuous_parametric")
+    start_fallback = (
+        {"alpha": list(start_cpar["alpha_M"]), "beta": list(start_cpar["beta_M"])}
+        if start_cpar else None
+    )
+
+    # Init: disagreement norm (C6) → ascending greedy pick of ν pairs (T2).
+    disagreement_terms = [(1.0 - F.col(g)) ** 2 for g in b_gammas] + [
+        F.col(g) ** 2 for g in cpar_gammas
+    ]
+    init_norm = F.sqrt(sum(disagreement_terms[1:], disagreement_terms[0]))
+    omega = omega.withColumn("init_disagreement", init_norm).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+
+    M = select_mec_pairs(
+        omega, float(max(0, nu)), block_col="block", ascending=True,
+        invalid_to_never=True, ratio_col="init_disagreement",
+    ).select("a", "b").persist(StorageLevel.MEMORY_AND_DISK)
+    n_M_count = M.count()
+    n_U_count = N - n_M_count
+
+    diagnostics: list[dict] = []
+
+    if n_U_count == 0:
+        if N != nu:
+            raise ValueError(
+                "blocked_mec() initialized an empty nonmatch complement before "
+                "reaching the structural one-to-one bound."
+            )
+        scored = omega.withColumns({"ratio": F.lit(0.0), "q_est": F.lit(0.0)})
+        M_est = scored.join(M, ["a", "b"], "left_semi").select("a", "b", "block", "ratio")
+        return BlockedMecResult(
+            M_est=M_est, n_M_est=n_M_count, n_U_est=0,
+            candidate_pair_count=N, nu=nu, n_U_min=n_U_min, iter=0,
+            convergence_reason="structural_no_nonmatch_complement",
+            alpha=alpha, n_U_fit=0, b_params=None, cpar_params=None,
+            block_estimates=None,
+            u_fit_diagnostics=pd.DataFrame(), scored=scored,
+        )
+
+    prev_match: dict | None = None
+    prev_nonmatch: dict | None = None
+    prev_vec: np.ndarray | None = None
+    n_U_old = n_U_count
+    convergence_reason = "max_iter"
+    it = 1
+    scored = omega
+    match_params = nonmatch_params = None
+
+    while True:
+        # (a) match-side params from current M (full Ω if M empty —
+        #     internals.R:1516-1518).
+        m_df = scored.join(M, ["a", "b"], "left_semi") if n_M_count else scored
+        m_fallback = (
+            {"alpha": prev_match["alpha"], "beta": prev_match["beta"]}
+            if prev_match and "alpha" in prev_match else start_fallback
+        )
+        match_params = _estimate_side(m_df, b_gammas, cpar_gammas, "M", m_fallback)
+
+        # (b) U-fit subset via alpha drop (T6).
+        U = scored.join(M, ["a", "b"], "left_anti")
+        requested_drop = math.floor(alpha * n_U_count)
+        reason = None
+        if it == 1:
+            reason = "first_u_fit_full"
+        elif alpha == 0:
+            reason = "alpha_zero"
+        elif requested_drop == 0:
+            reason = "requested_drop_zero"
+        if reason is None:
+            n_keep = n_U_count - requested_drop
+            score_col = "q_est" if "q_est" in scored.columns else "ratio"
+            w = Window.orderBy(
+                F.desc_nulls_last(score_col), F.asc("a"), F.asc("b"), F.asc("block")
+            )
+            ranked = U.withColumn("_rk", F.row_number().over(w))
+            U_fit = ranked.filter(F.col("_rk") <= n_keep).drop("_rk")
+            # minimum-sample check: ≥2 positives per cpar var or valid fallback
+            ok = True
+            if cpar_gammas:
+                prev_ok = prev_nonmatch is not None and "alpha" in (prev_nonmatch or {})
+                pos_counts = U_fit.agg(*[
+                    F.count(F.when(F.col(g) > 0, 1)).alias(g) for g in cpar_gammas
+                ]).collect()[0].asDict()
+                for i, g in enumerate(cpar_gammas):
+                    fb_valid = prev_ok and math.isfinite(prev_nonmatch["alpha"][i]) \
+                        and prev_nonmatch["alpha"][i] > 0
+                    if pos_counts[g] < 2 and not fb_valid:
+                        ok = False
+                        break
+            if ok:
+                n_U_fit = n_keep
+                reason = "alpha_reliability_drop"
+            else:
+                U_fit = U
+                n_U_fit = n_U_count
+                reason = "minimum_sample_full_base"
+        else:
+            U_fit = U
+            n_U_fit = n_U_count
+        diagnostics.append({
+            "iter": it, "n_U_current": n_U_count, "alpha": alpha,
+            "requested_n_drop": requested_drop, "n_U_fit": n_U_fit,
+            "alpha_applied": reason == "alpha_reliability_drop", "reason": reason,
+        })
+
+        # (c) nonmatch-side params from S_U.
+        u_fallback = (
+            {"alpha": prev_nonmatch["alpha"], "beta": prev_nonmatch["beta"]}
+            if prev_nonmatch and "alpha" in prev_nonmatch else None
+        )
+        nonmatch_params = _estimate_side(U_fit, b_gammas, cpar_gammas, "U", u_fallback)
+
+        # (d) score s = u/m with NA/neg → +Inf guard
+        #     (score_inverted_mec_ratio internals.R:1653-1686).
+        # try_divide: a zero match-side density is a legitimate "certain
+        # nonmatch" → NULL → guarded to +Inf (R semantics: x/0 = Inf, then
+        # score_inverted_mec_ratio maps NA/neg to Inf, internals.R:1683-1685).
+        expr = F.lit(1.0)
+        if b_gammas:
+            expr = expr * F.try_divide(
+                fam.bernoulli_product_expr(b_gammas, nonmatch_params["rate"]),
+                fam.bernoulli_product_expr(b_gammas, match_params["rate"]),
+            )
+        if cpar_gammas:
+            expr = expr * F.try_divide(
+                fam.hurdle_gamma_product_expr(
+                    cpar_gammas, nonmatch_params["p_0"],
+                    nonmatch_params["alpha"], nonmatch_params["beta"],
+                ),
+                fam.hurdle_gamma_product_expr(
+                    cpar_gammas, match_params["p_0"],
+                    match_params["alpha"], match_params["beta"],
+                ),
+            )
+        guarded = F.when(expr.isNull() | F.isnan(expr) | (expr < 0), F.lit(_INF)).otherwise(expr)
+        scored = omega.withColumn("ratio", guarded)
+
+        # (e) q̂ with full |U|; n_U = max(n_U_min, min(N, round Σq̂)); n_M = N − n_U.
+        scored = scored.withColumn("q_est", _q_est_expr(float(n_U_count), float(N)))
+        if checkpoint_dir is not None:
+            path = f"{checkpoint_dir}/blocked_mec_iter_{it}"
+            scored.write.mode("overwrite").parquet(path)
+            scored = scored.sparkSession.read.parquet(path)
+        q_sum = float(scored.agg(F.sum("q_est")).collect()[0][0])
+        n_U_est = max(n_U_min, min(N, round(q_sum)))
+        n_M_est = N - n_U_est
+
+        # (f) new M by ascending-s greedy (T2).
+        M_new = select_mec_pairs(
+            scored, float(n_M_est), block_col="block", ascending=True,
+            invalid_to_never=True,
+        ).select("a", "b").persist(StorageLevel.MEMORY_AND_DISK)
+        n_M_new = M_new.count()
+        n_U_new = N - n_M_new
+
+        vec_parts: list[float] = []
+        vec_parts += match_params.get("rate", [])
+        vec_parts += match_params.get("p_0", []) + match_params.get("alpha", []) + match_params.get("beta", [])
+        vec_parts += nonmatch_params.get("rate", [])
+        vec_parts += nonmatch_params.get("p_0", []) + nonmatch_params.get("alpha", []) + nonmatch_params.get("beta", [])
+        vec = np.array(vec_parts)
+
+        can_check = it >= 2
+        same_set = False
+        if can_check and n_M_new == n_M_count:
+            same_set = (
+                M_new.exceptAll(M).limit(1).count() == 0
+            )
+        if can_check and abs(n_U_est - n_U_old) < delta:
+            convergence_reason = "n_U_delta"
+        elif can_check and same_set:
+            convergence_reason = "match_set_unchanged"
+        elif can_check and prev_vec is not None and len(prev_vec) == len(vec) \
+                and float(np.linalg.norm(prev_vec - vec)) < eps:
+            convergence_reason = "nonmatch_parameter_eps"
+        elif it >= max_iter:
+            convergence_reason = "max_iter"
+        elif n_U_new == 0:
+            convergence_reason = "structural_no_nonmatch_complement"
+        elif n_M_new == 0:
+            convergence_reason = "empty_match_set"
+        else:
+            prev_match, prev_nonmatch, prev_vec = match_params, nonmatch_params, vec
+            n_U_old = n_U_est
+            M.unpersist()
+            M = M_new
+            n_M_count = n_M_new
+            n_U_count = n_U_new
+            it += 1
+            if verbose:
+                print(f"[blocked_mec] iter={it} n_M={n_M_new} n_U_est={n_U_est}")
+            continue
+
+        M.unpersist()
+        M = M_new
+        n_M_count = n_M_new
+        break
+
+    M_est = (
+        scored.join(M, ["a", "b"], "left_semi")
+        .select("a", "b", "block", "ratio")
+        .orderBy("block", "a", "b")
+    )
+    n_U_selected = N - n_M_count
+
+    block_estimates = (
+        summary.summary.join(
+            M_est.groupBy("block").agg(F.count(F.lit(1)).alias("n_M_est")),
+            "block", "left",
+        )
+        .fillna({"n_M_est": 0})
+        .withColumn("selected_pairs", F.col("n_M_est"))
+    )
+
+    def _param_table(cols, mp, np_, kind):
+        if not cols:
+            return None
+        if kind == "binary":
+            return pd.DataFrame({"variable": cols, "theta": mp["rate"], "eta": np_["rate"]})
+        return pd.DataFrame({
+            "variable": cols,
+            "p_0_M": mp["p_0"], "alpha_M": mp["alpha"], "beta_M": mp["beta"],
+            "p_0_U": np_["p_0"], "alpha_U": np_["alpha"], "beta_U": np_["beta"],
+        })
+
+    blocking_eval = eval_metrics = confusion = None
+    if true_matches is not None:
+        preserved = true_matches.join(pairs.select("a", "b"), ["a", "b"], "left_semi").count()
+        n_true = true_matches.count()
+        blocking_eval = {
+            "true_matches_preserved": preserved,
+            "true_matches_total": n_true,
+            "blocking_recall": preserved / n_true if n_true else float("nan"),
+            "candidate_pairs": N,
+        }
+        # Evaluation uses the FULL pair space n_A×n_B (the blocked candidate
+        # set only restricts prediction, not the universe; reference
+        # unsupervised_learning.R:1151-1175 → TN counts unblocked pairs).
+        counts = evaluation(M_est, true_matches, cv.n_A * cv.n_B)
+        eval_metrics = get_metrics(counts.TP, counts.FP, counts.FN, counts.TN)
+        confusion = get_confusion(counts.TP, counts.FP, counts.FN, counts.TN)
+
+    return BlockedMecResult(
+        M_est=M_est,
+        n_M_est=n_M_count,
+        n_U_est=n_U_selected,
+        candidate_pair_count=N,
+        nu=nu,
+        n_U_min=n_U_min,
+        iter=it,
+        convergence_reason=convergence_reason,
+        alpha=alpha,
+        n_U_fit=n_U_fit,
+        b_params=_param_table(b_gammas, match_params, nonmatch_params, "binary") if b_gammas else None,
+        cpar_params=_param_table(cpar_gammas, match_params, nonmatch_params, "cpar") if cpar_gammas else None,
+        block_estimates=block_estimates,
+        u_fit_diagnostics=pd.DataFrame(diagnostics),
+        blocking_eval=blocking_eval,
+        eval_metrics=eval_metrics,
+        confusion=confusion,
+        scored=scored,
+    )

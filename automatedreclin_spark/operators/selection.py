@@ -58,8 +58,9 @@ def greedy_select_local(
 
     key = np.asarray(ratio, dtype=np.float64).copy()
     if invalid_to_never:
-        # NA / negative scores are never selectable (internals.R:1712-1713).
-        bad = ~np.isfinite(key) | (key < 0)
+        # NA / negative scores sort LAST (mapped to +Inf in ascending order,
+        # internals.R:1712-1713) — still selectable if the budget reaches them.
+        bad = np.isnan(key) | (key < 0)
         key[bad] = np.inf if ascending else -np.inf
     sort_sign = 1.0 if ascending else -1.0
     order = np.lexsort((np.asarray(b), np.asarray(a), sort_sign * key))
@@ -68,8 +69,6 @@ def greedy_select_local(
     used_b: set = set()
     selected: list[int] = []
     for idx in order:
-        if invalid_to_never and not np.isfinite(key[idx]):
-            continue
         ca = a[idx]
         if ca in used_a:
             continue

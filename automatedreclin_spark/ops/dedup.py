@@ -1,0 +1,211 @@
+"""Corpus deduplication operators — first-class training-data-pipeline ops.
+
+All variants return a verdict-style DataFrame so a 100 TB pipeline can chain
+them: exact (hash groupBy), MinHash+LSH banding (shingle → signature → band
+bucket → bucket join → verify), SimHash (Hamming-ball near-dup), n-gram
+Jaccard (exact pairwise within a partition key), and embedding-cosine via
+ops/similarity.py.
+
+Determinism: every hash derives from md5 of the token (the shared 60-bit
+token hash, see operators/blocking.py) and fixed permutation constants — no
+RNG on executors, identical output across partition counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from automatedreclin_spark.operators.blocking import MERSENNE_61, token_hash_expr
+
+#: 16 fixed universal-hash permutations (a, b) for minhash signatures.
+MINHASH_PERMS_16 = [
+    (1_000_003, 12_345), (999_983, 54_321), (1_000_033, 77_777), (999_979, 13_579),
+    (1_000_037, 24_680), (1_000_039, 98_765), (1_000_081, 11_111), (1_000_099, 22_222),
+    (1_000_117, 33_333), (1_000_121, 44_444), (1_000_133, 55_555), (1_000_151, 66_666),
+    (1_000_159, 88_888), (1_000_171, 99_999), (1_000_183, 10_101), (1_000_187, 20_202),
+]
+
+
+def exact_dedup(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
+    """Exact duplicates by sha256(content): per-row verdict
+    (id, content_sha, canonical_id, is_duplicate). One shuffle (window by
+    hash), map-side-combinable."""
+    from pyspark.sql.window import Window
+
+    sha = F.sha2(F.col(content_col), 256)
+    w = Window.partitionBy("content_sha")
+    return (
+        df.select(F.col(id_col).alias("id"), sha.alias("content_sha"))
+        .withColumn("canonical_id", F.min("id").over(w))
+        .withColumn("is_duplicate", F.col("id") != F.col("canonical_id"))
+    )
+
+
+def _tokens(text_col, lowercase: bool = True):
+    t = F.col(text_col) if isinstance(text_col, str) else text_col
+    if lowercase:
+        t = F.lower(t)
+    return F.array_distinct(F.split(t, r"\s+"))
+
+
+def shingles_expr(text_col, k: int = 3, lowercase: bool = True):
+    """Word k-shingles as an array column — pure Catalyst via transform over
+    a token-index sequence (no explode)."""
+    t = F.col(text_col) if isinstance(text_col, str) else text_col
+    if lowercase:
+        t = F.lower(t)
+    toks = F.split(t, r"\s+")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.when(n < k, F.array(F.concat_ws(" ", toks))).otherwise(
+        F.array_distinct(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
+        )
+    )
+
+
+def minhash_signature(df: DataFrame, id_col: str, text_col: str,
+                      n_hashes: int = 16, shingle_k: int = 1) -> DataFrame:
+    """MinHash signature columns mh_0..mh_{n-1} over word shingles. Narrow:
+    array_min(transform(...)) per permutation — no explode, no shuffle."""
+    assert n_hashes <= len(MINHASH_PERMS_16)
+    sh = shingles_expr(text_col, k=shingle_k) if shingle_k > 1 else _tokens(text_col)
+    hashed = F.transform(sh, lambda tok: token_hash_expr(tok))
+    cols = {}
+    for i, (a, b) in enumerate(MINHASH_PERMS_16[:n_hashes]):
+        cols[f"mh_{i}"] = F.array_min(
+            F.transform(hashed, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MERSENNE_61))
+        ).cast("long")
+    return df.select(F.col(id_col).alias("id"), *[v.alias(k) for k, v in cols.items()])
+
+
+def minhash_lsh_pairs(
+    signatures: DataFrame,
+    n_hashes: int = 16,
+    bands: int = 4,
+    partition_col: str | None = None,
+) -> DataFrame:
+    """LSH banding: split the signature into ``bands`` rows of
+    ``n_hashes/bands`` values; docs sharing any full band land in one bucket
+    → self-join within buckets. Returns distinct candidate pairs
+    (id_a < id_b). The band bucket join is the ONLY shuffle; candidate count
+    is controlled by band width (rows-per-band ↑ → precision ↑)."""
+    rows_per_band = n_hashes // bands
+    band_structs = []
+    for b in range(bands):
+        cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_structs.append(
+            F.struct(F.lit(b).alias("band"), F.xxhash64(*cols).alias("bucket"))
+        )
+    exploded = signatures.select(
+        "id",
+        *( [F.col(partition_col)] if partition_col else [] ),
+        F.explode(F.array(*band_structs)).alias("bb"),
+    ).select(
+        "id",
+        *( [F.col(partition_col)] if partition_col else [] ),
+        F.col("bb.band").alias("band"),
+        F.col("bb.bucket").alias("bucket"),
+    )
+    join_keys = ["band", "bucket"] + ([partition_col] if partition_col else [])
+    left = exploded.select(*join_keys, F.col("id").alias("id_a"))
+    right = exploded.select(*join_keys, F.col("id").alias("id_b"))
+    return (
+        left.join(right, join_keys)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_verify(pairs: DataFrame, df: DataFrame, id_col: str, text_col: str,
+                   threshold: float = 0.8, shingle_k: int = 1) -> DataFrame:
+    """Verify candidate pairs with the true token-set Jaccard; keeps pairs
+    ≥ threshold. Two hash joins + a narrow array intersection."""
+    sh = shingles_expr(text_col, k=shingle_k) if shingle_k > 1 else _tokens(text_col)
+    toks = df.select(F.col(id_col).alias("id"), sh.alias("toks"))
+    joined = (
+        pairs.join(toks.withColumnsRenamed({"id": "id_a", "toks": "toks_a"}), "id_a")
+        .join(toks.withColumnsRenamed({"id": "id_b", "toks": "toks_b"}), "id_b")
+    )
+    jac = F.size(F.array_intersect("toks_a", "toks_b")).cast("double") / F.size(
+        F.array_union("toks_a", "toks_b")
+    )
+    return (
+        joined.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_dedup(df: DataFrame, id_col: str, text_col: str,
+                  n_hashes: int = 16, bands: int = 4,
+                  threshold: float = 0.8,
+                  partition_col: str | None = None) -> DataFrame:
+    """Full MinHash+LSH near-dup pipeline: signature → banding → bucket join
+    → Jaccard verification. Returns (id_a, id_b, jaccard)."""
+    sigs = minhash_signature(df, id_col, text_col, n_hashes=n_hashes)
+    if partition_col:
+        sigs = sigs.join(
+            df.select(F.col(id_col).alias("id"), partition_col), "id"
+        )
+    cand = minhash_lsh_pairs(sigs, n_hashes=n_hashes, bands=bands,
+                             partition_col=partition_col)
+    return jaccard_verify(cand, df, id_col, text_col, threshold=threshold)
+
+
+# ------------------------------------------------------------------ simhash --
+
+def simhash_expr(text_col, n_bits: int = 64):
+    """64-bit SimHash over word tokens, pure Catalyst: per token take the
+    md5-derived 60-bit hash twice (two permutations) to synthesize 64 bits;
+    majority vote per bit via aggregate over ±1 contributions.
+
+    Implemented as: for each bit position j, sum over tokens of
+    (2·bit_j(h(tok)) − 1); simhash bit j = (sum > 0)."""
+    toks = _tokens(text_col)
+    h1 = lambda tok: token_hash_expr(tok).cast("long")                       # 60 bits
+    h2 = lambda tok: F.xxhash64(tok)                                         # 64 bits
+    # Use xxhash64 for all 64 bits (single-engine op; no oracle parity needed).
+    bit_sums = [
+        F.aggregate(
+            toks,
+            F.lit(0),
+            lambda acc, tok, j=j: acc + (F.shiftright(h2(tok), j) % 2) * 2 - 1,
+        )
+        for j in range(n_bits)
+    ]
+    out = F.lit(0).cast("long")
+    for j, s in enumerate(bit_sums):
+        out = out + F.when(s > 0, F.lit(1).cast("long") << j).otherwise(0)
+    return out
+
+
+def simhash_dedup(df: DataFrame, id_col: str, text_col: str,
+                  max_hamming: int = 3, n_tables: int = 4) -> DataFrame:
+    """SimHash near-dup candidates: bucket on ``n_tables`` 16-bit slices of
+    the 64-bit simhash (pigeonhole: hamming ≤ 3 ⇒ at least one of 4 slices
+    identical), verify with exact Hamming distance via bit_count(xor)."""
+    sh = df.select(F.col(id_col).alias("id"), simhash_expr(text_col).alias("simhash"))
+    slices = [
+        F.struct(F.lit(t).alias("t"),
+                 (F.shiftright("simhash", t * 16) % (1 << 16)).alias("s"))
+        for t in range(n_tables)
+    ]
+    exploded = sh.select("id", "simhash", F.explode(F.array(*slices)).alias("sl")) \
+        .select("id", "simhash", F.col("sl.t").alias("t"), F.col("sl.s").alias("s"))
+    left = exploded.select("t", "s", F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"))
+    right = exploded.select("t", "s", F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"))
+    cand = (
+        left.join(right, ["t", "s"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

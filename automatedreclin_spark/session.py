@@ -53,6 +53,9 @@ def get_spark(
         # skew-join splitting — hot blocks in the candidate-pair join get
         # split without manual salting for moderate skew (we still salt
         # pathological blocks explicitly, see operators/blocking.py).
+        # R-parity float semantics: x/0 must not hard-error (the inverted MEC
+        # legitimately produces zero match-side densities → ratio +Inf).
+        .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

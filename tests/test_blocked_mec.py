@@ -1,0 +1,153 @@
+"""Blocked inverted MEC scenario goldens + output contract
+(reference inst/tinytest/test_mec_blocking.R, scenarios re-created with
+explicit block assignments in place of the external ANN blocking run)."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from automatedreclin_spark.functions.comparators import jarowinkler_complement
+from automatedreclin_spark.models.blocked_mec import blocked_mec
+
+
+def _contract(res):
+    """Output contract (test_mec_blocking.R:13-35)."""
+    m = res.M_est.toPandas()
+    assert list(m.columns) == ["a", "b", "block", "ratio"]
+    assert res.n_M_est == len(m)
+    assert res.n_U_est == res.candidate_pair_count - res.n_M_est
+    if res.block_estimates is not None:
+        be = res.block_estimates.toPandas()
+        assert (be["n_M_est"] >= 0).all()
+        assert (be["n_M_est"] <= be[["n_a", "n_b"]].min(axis=1)).all()
+    if res.scored is not None and "q_est" in res.scored.columns:
+        q = res.scored.select("q_est").toPandas()["q_est"]
+        assert ((q >= 0) & (q <= 1)).all()
+
+
+def test_singleton_blocks_all_match(spark):
+    """5×5 identical tables, 1×1 blocks → all pairs matched, n_U_est = 0
+    (structural path; test_mec_blocking.R:83-163)."""
+    names = ["Emma", "Liam", "Olivia", "Noah", "Ava"]
+    surnames = ["Smith", "Jones", "Brown", "Davis", "Miller"]
+    A = spark.createDataFrame(pd.DataFrame({
+        "a": range(1, 6), "name": names, "surname": surnames,
+        "block": range(1, 6),
+    }))
+    B = spark.createDataFrame(pd.DataFrame({
+        "b": range(1, 6), "name": names, "surname": surnames,
+        "block": range(1, 6),
+    }))
+    true = spark.createDataFrame(pd.DataFrame({"a": range(1, 6), "b": range(1, 6)}))
+    res = blocked_mec(A, B, ["name", "surname"], true_matches=true)
+    assert res.n_M_est == 5
+    assert res.n_U_est == 0
+    assert res.candidate_pair_count == 5
+    assert res.convergence_reason == "structural_no_nonmatch_complement"
+    m = res.M_est.orderBy("a").toPandas()
+    assert list(m["a"]) == list(range(1, 6))
+    assert list(m["b"]) == list(range(1, 6))
+    if res.blocking_eval:
+        assert res.blocking_eval["blocking_recall"] == 1.0
+    _contract(res)
+
+
+def test_singleton_nonmatch(spark):
+    """2×2 with one shared record per block → both pairs matched
+    (test_mec_blocking.R:206-233)."""
+    A = spark.createDataFrame(pd.DataFrame({
+        "a": [1, 2], "name": ["same", "left"], "surname": ["person", "alpha"],
+        "block": [1, 2],
+    }))
+    B = spark.createDataFrame(pd.DataFrame({
+        "b": [1, 2], "name": ["same", "right"], "surname": ["person", "beta"],
+        "block": [1, 2],
+    }))
+    res = blocked_mec(A, B, ["name", "surname"])
+    assert res.n_M_est == 2
+    assert res.n_U_est == 0
+    m = res.M_est.orderBy("a").toPandas()
+    assert list(m["a"]) == [1, 2] and list(m["b"]) == [1, 2]
+    _contract(res)
+
+
+def test_threshold_blocks(spark):
+    """1×3 blocks: A records 1 and 4 against B triples → exactly the two
+    exact-agreement pairs match, n_U_est = 4, MMR = 2/3
+    (test_mec_blocking.R:235-304)."""
+    names = ["A1", "A2", "A3", "B1", "B2", "B3"]
+    surnames = ["S1", "S2", "S3", "T1", "T2", "T3"]
+    # All six A records enter; blocking strands records 2,3,5,6 in blocks
+    # with no B counterpart (the reference's excluded_records).
+    A = spark.createDataFrame(pd.DataFrame({
+        "a": range(1, 7), "name": names, "surname": surnames,
+        "block": [1, 91, 92, 2, 93, 94],
+    }))
+    B = spark.createDataFrame(pd.DataFrame({
+        "b": range(1, 7), "name": names, "surname": surnames,
+        "block": [1, 1, 1, 2, 2, 2],
+    }))
+    true = spark.createDataFrame(pd.DataFrame({"a": range(1, 7), "b": range(1, 7)}))
+    res = blocked_mec(A, B, ["name", "surname"], true_matches=true)
+    assert res.candidate_pair_count == 6
+    assert res.n_M_est == 2
+    assert res.n_U_est == 4
+    m = res.M_est.orderBy("a").toPandas()
+    assert list(m["a"]) == [1, 4] and list(m["b"]) == [1, 4]
+    assert res.blocking_eval["blocking_recall"] == pytest.approx(1 / 3)
+    assert res.eval_metrics["FLR"] == 0.0
+    assert res.eval_metrics["MMR"] == pytest.approx(2 / 3)
+    assert res.confusion == [[2, 4], [0, 30]]
+    _contract(res)
+
+
+def test_cpar_blocked(spark):
+    """Mixed binary + continuous-parametric blocked fit (like fit_cpar,
+    test_mec_blocking.R:172-204) with larger fuzzy blocks."""
+    import numpy as np
+    rng = np.random.default_rng(2)
+    n = 40
+    base = [f"name{i:02d}" for i in range(n)]
+    sur = [f"sur{i:02d}" for i in range(n)]
+    # B: half exact copies, half typo'd
+    b_names = [s if i % 2 == 0 else s[:-1] + "x" for i, s in enumerate(base)]
+    blocks = [i % 5 for i in range(n)]
+    A = spark.createDataFrame(pd.DataFrame({
+        "a": range(1, n + 1), "name": base, "surname": sur,
+        "city": ["c1"] * (n // 2) + ["c2"] * (n // 2), "block": blocks,
+    }))
+    B = spark.createDataFrame(pd.DataFrame({
+        "b": range(1, n + 1), "name": b_names, "surname": sur,
+        "city": ["c1"] * (n // 2) + ["c2"] * (n // 2), "block": blocks,
+    }))
+    res = blocked_mec(
+        A, B, ["name", "surname", "city"],
+        comparators={"name": jarowinkler_complement(),
+                     "surname": jarowinkler_complement()},
+        methods={"name": "continuous_parametric",
+                 "surname": "continuous_parametric"},
+        true_matches=spark.createDataFrame(
+            pd.DataFrame({"a": range(1, n + 1), "b": range(1, n + 1)})
+        ),
+    )
+    assert res.cpar_params is not None and res.b_params is not None
+    assert list(res.cpar_params["variable"]) == ["gamma_name", "gamma_surname"]
+    assert list(res.b_params["variable"]) == ["gamma_city"]
+    p = res.cpar_params
+    import math
+    assert all(math.isfinite(x) for col in
+               ["p_0_M", "alpha_M", "beta_M", "p_0_U", "alpha_U", "beta_U"]
+               for x in p[col])
+    # typo'd B names share surname → should still be matched 1:1 to their A row
+    m = res.M_est.toPandas()
+    assert (m["a"] == m["b"]).mean() >= 0.9
+    _contract(res)
+
+
+def test_alpha_validation(spark):
+    A = spark.createDataFrame(pd.DataFrame({"a": [1], "name": ["x"], "block": [1]}))
+    B = spark.createDataFrame(pd.DataFrame({"b": [1], "name": ["x"], "block": [1]}))
+    with pytest.raises(ValueError, match="alpha"):
+        blocked_mec(A, B, ["name"], alpha=1.5)
+    with pytest.raises(ValueError, match="binary and continuous_parametric"):
+        blocked_mec(A, B, ["name"], methods={"name": "hit_miss"})
