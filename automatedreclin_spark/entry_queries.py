@@ -449,3 +449,151 @@ ORACLES: dict[str, str] = {
     "minhash_signatures": ORACLE_MINHASH,
     "ann_cosine_topk": ORACLE_ANN_COSINE,
 }
+
+
+# --------------------------------------------------- ops: quality / dedup ----
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-feature extraction (ops/textstats.py) — corpus-filter signals,
+    all whole-stage-codegen expressions."""
+    from automatedreclin_spark.ops.textstats import quality_features
+
+    docs = _t(spark, sf_dir, "documents")
+    q = quality_features(docs, "doc_id", "text")
+    return q.select(
+        "id", "n_tokens", "n_distinct_tokens",
+        F.round("lexical_diversity", 6).alias("lexical_diversity"),
+        F.round("punct_ratio", 6).alias("punct_ratio"),
+        F.round("digit_ratio", 6).alias("digit_ratio"),
+        F.round("mean_word_len", 6).alias("mean_word_len"),
+    )
+
+
+ORACLE_TEXT_QUALITY = """
+WITH d AS (
+  SELECT doc_id AS id, text, length(text) AS n_chars,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split(trim(text), ' ')) END AS n_tokens,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(list_distinct(string_split(trim(text), ' '))) END AS n_distinct_tokens,
+         length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS punct,
+         length(regexp_replace(text, '[^0-9]', '', 'g')) AS digits
+  FROM documents
+)
+SELECT id, n_tokens, n_distinct_tokens,
+       ROUND(CASE WHEN n_tokens > 0 THEN CAST(n_distinct_tokens AS DOUBLE) / n_tokens ELSE 0 END, 6) AS lexical_diversity,
+       ROUND(CASE WHEN n_chars > 0 THEN CAST(punct AS DOUBLE) / n_chars ELSE 0 END, 6) AS punct_ratio,
+       ROUND(CASE WHEN n_chars > 0 THEN CAST(digits AS DOUBLE) / n_chars ELSE 0 END, 6) AS digit_ratio,
+       ROUND(CASE WHEN n_tokens > 0 THEN CAST(n_chars - n_tokens + 1 AS DOUBLE) / n_tokens ELSE 0 END, 6) AS mean_word_len
+FROM d
+"""
+
+
+def q_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pipeline (ops/dedup.py): 16-hash signatures over
+    word tokens, 4 bands, bucket join, exact-Jaccard verification ≥ 0.5."""
+    from automatedreclin_spark.ops.dedup import minhash_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    out = minhash_dedup(docs, "doc_id", "text", n_hashes=16, bands=4, threshold=0.5)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def _minhash_lsh_oracle() -> str:
+    from automatedreclin_spark.ops.dedup import MINHASH_PERMS_16
+    from automatedreclin_spark.operators.blocking import MERSENNE_61
+
+    mh_cols = ",\n    ".join(
+        f"CAST(MIN(({a}::HUGEINT * h + {b}) % {MERSENNE_61}) AS BIGINT) AS mh_{i}"
+        for i, (a, b) in enumerate(MINHASH_PERMS_16)
+    )
+    band_keys = []
+    for band in range(4):
+        cols = [f"mh_{band * 4 + r}" for r in range(4)]
+        band_keys.append("(" + " AND ".join(f"x.{c} = y.{c}" for c in cols) + ")")
+    band_join = " OR ".join(band_keys)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS tok
+  FROM documents
+), hashed AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT)::HUGEINT AS h
+  FROM toks
+), sigs AS (
+  SELECT doc_id, {mh_cols} FROM hashed GROUP BY doc_id
+), cand AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+  FROM sigs x JOIN sigs y ON x.doc_id < y.doc_id AND ({band_join})
+), tsets AS (
+  SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS t FROM documents
+)
+SELECT id_a, id_b,
+       ROUND(CAST(len(list_intersect(ta.t, tb.t)) AS DOUBLE)
+             / len(list_distinct(list_concat(ta.t, tb.t))), 6) AS jaccard
+FROM cand JOIN tsets ta ON cand.id_a = ta.doc_id
+          JOIN tsets tb ON cand.id_b = tb.doc_id
+WHERE CAST(len(list_intersect(ta.t, tb.t)) AS DOUBLE)
+      / len(list_distinct(list_concat(ta.t, tb.t))) >= 0.5
+"""
+
+
+def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming-ball near-dup (ops/dedup.py). md5-bit majority vote in
+    a pandas UDF — rows-only check (per-value goldens in tests)."""
+    from automatedreclin_spark.ops.dedup import simhash_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_dedup(docs, "doc_id", "text", max_hamming=8)
+
+
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (ops/textstats.py) reduced to per-doc scalars
+    for cross-engine comparison."""
+    from automatedreclin_spark.ops.textstats import fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    fp = fingerprint(docs, "doc_id", "text", k=5, window=4)
+    return fp.select(
+        "id",
+        "n_fingerprints",
+        F.array_min("fingerprints").alias("fp_min"),
+        F.array_max("fingerprints").alias("fp_max"),
+    )
+
+
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID (ops/textstats.py); rows-only (heuristic —
+    accuracy asserted against the lang column in tests)."""
+    from automatedreclin_spark.ops.textstats import language_id
+
+    docs = _t(spark, sf_dir, "documents")
+    return language_id(docs, "doc_id", "text")
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k (ops/similarity.py); rows-only (approximate —
+    recall asserted vs brute force in tests)."""
+    from automatedreclin_spark.ops.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    return ivf_topk(queries, corpus, k=3, n_centroids=8, n_probe=4)
+
+
+QUERIES.update({
+    "text_quality": q_text_quality,
+    "minhash_lsh_dedup": q_minhash_lsh_dedup,
+    "simhash_dedup": q_simhash_dedup,
+    "doc_fingerprints": q_doc_fingerprints,
+    "language_id": q_language_id,
+    "ann_ivf_topk": q_ann_ivf_topk,
+})
+
+ORACLES.update({
+    "text_quality": ORACLE_TEXT_QUALITY,
+    "minhash_lsh_dedup": _minhash_lsh_oracle(),
+    # simhash_dedup / doc_fingerprints / language_id / ann_ivf_topk:
+    # engine-specific or approximate -> rows-only checks; semantics pinned in
+    # tests/test_ops_*.py.
+})

@@ -13,8 +13,13 @@ RNG on executors, identical output across partition counts.
 
 from __future__ import annotations
 
+import hashlib
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 from automatedreclin_spark.operators.blocking import MERSENNE_61, token_hash_expr
 
@@ -71,13 +76,17 @@ def minhash_signature(df: DataFrame, id_col: str, text_col: str,
     array_min(transform(...)) per permutation — no explode, no shuffle."""
     assert n_hashes <= len(MINHASH_PERMS_16)
     sh = shingles_expr(text_col, k=shingle_k) if shingle_k > 1 else _tokens(text_col)
-    hashed = F.transform(sh, lambda tok: token_hash_expr(tok))
+    # Stage the md5-derived hash array once — without staging, each of the
+    # n_hashes array_min(transform(...)) re-evaluates every md5.
+    staged = df.select(F.col(id_col).alias("id"), sh.alias("_sh")).withColumn(
+        "_hashed", F.transform("_sh", lambda tok: token_hash_expr(tok))
+    )
     cols = {}
     for i, (a, b) in enumerate(MINHASH_PERMS_16[:n_hashes]):
         cols[f"mh_{i}"] = F.array_min(
-            F.transform(hashed, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MERSENNE_61))
+            F.transform("_hashed", lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MERSENNE_61))
         ).cast("long")
-    return df.select(F.col(id_col).alias("id"), *[v.alias(k) for k, v in cols.items()])
+    return staged.select("id", *[v.alias(k) for k, v in cols.items()])
 
 
 def minhash_lsh_pairs(
@@ -157,40 +166,52 @@ def minhash_dedup(df: DataFrame, id_col: str, text_col: str,
 
 # ------------------------------------------------------------------ simhash --
 
-def simhash_expr(text_col, n_bits: int = 64):
-    """64-bit SimHash over word tokens, pure Catalyst: per token take the
-    md5-derived 60-bit hash twice (two permutations) to synthesize 64 bits;
-    majority vote per bit via aggregate over ±1 contributions.
+def simhash_udf():
+    """64-bit SimHash over distinct word tokens as an Arrow-batched pandas
+    UDF: per-token md5-derived 64-bit hash, ±1 majority vote per bit
+    (Charikar, STOC'02). numpy bit unpacking per batch; deterministic across
+    engines and partitionings (md5-based, no RNG)."""
 
-    Implemented as: for each bit position j, sum over tokens of
-    (2·bit_j(h(tok)) − 1); simhash bit j = (sum > 0)."""
-    toks = _tokens(text_col)
-    h1 = lambda tok: token_hash_expr(tok).cast("long")                       # 60 bits
-    h2 = lambda tok: F.xxhash64(tok)                                         # 64 bits
-    # Use xxhash64 for all 64 bits (single-engine op; no oracle parity needed).
-    bit_sums = [
-        F.aggregate(
-            toks,
-            F.lit(0),
-            lambda acc, tok, j=j: acc + (F.shiftright(h2(tok), j) % 2) * 2 - 1,
-        )
-        for j in range(n_bits)
-    ]
-    out = F.lit(0).cast("long")
-    for j, s in enumerate(bit_sums):
-        out = out + F.when(s > 0, F.lit(1).cast("long") << j).otherwise(0)
-    return out
+    @pandas_udf("long")
+    def _simhash(text: pd.Series) -> pd.Series:
+        out = []
+        shifts = np.arange(64, dtype=np.uint64)
+        for s in text:
+            if s is None:
+                out.append(0)
+                continue
+            toks = set(s.lower().split())
+            acc = np.zeros(64, dtype=np.int64)
+            for tok in toks:
+                h = np.uint64(int.from_bytes(
+                    hashlib.md5(tok.encode()).digest()[:8], "big"
+                ))
+                acc += ((h >> shifts) & np.uint64(1)).astype(np.int64) * 2 - 1
+            bits = (acc > 0).astype(object)
+            val = int(sum(int(b) << j for j, b in enumerate(bits)))
+            if val >= 1 << 63:
+                val -= 1 << 64
+            out.append(val)
+        return pd.Series(out, dtype="int64")
+
+    return _simhash
 
 
 def simhash_dedup(df: DataFrame, id_col: str, text_col: str,
-                  max_hamming: int = 3, n_tables: int = 4) -> DataFrame:
-    """SimHash near-dup candidates: bucket on ``n_tables`` 16-bit slices of
-    the 64-bit simhash (pigeonhole: hamming ≤ 3 ⇒ at least one of 4 slices
-    identical), verify with exact Hamming distance via bit_count(xor)."""
-    sh = df.select(F.col(id_col).alias("id"), simhash_expr(text_col).alias("simhash"))
+                  max_hamming: int = 3) -> DataFrame:
+    """SimHash near-dup pairs: bucket on (max_hamming+1) bit-slices of the
+    64-bit simhash — pigeonhole guarantees that any pair within the Hamming
+    ball shares at least one identical slice — then verify with the exact
+    Hamming distance via bit_count(xor). Smaller max_hamming → wider slices →
+    tighter buckets; verification keeps precision exact either way."""
+    if not 0 <= max_hamming <= 31:
+        raise ValueError("max_hamming must be in [0, 31].")
+    n_tables = max_hamming + 1
+    slice_bits = 64 // n_tables
+    sh = df.select(F.col(id_col).alias("id"), simhash_udf()(F.col(text_col)).alias("simhash"))
     slices = [
         F.struct(F.lit(t).alias("t"),
-                 (F.shiftright("simhash", t * 16) % (1 << 16)).alias("s"))
+                 (F.shiftright("simhash", t * slice_bits) % (1 << slice_bits)).alias("s"))
         for t in range(n_tables)
     ]
     exploded = sh.select("id", "simhash", F.explode(F.array(*slices)).alias("sl")) \

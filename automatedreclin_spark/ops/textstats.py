@@ -123,20 +123,32 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str,
     Catalyst: the k-gram hashes reuse the shared md5-derived token hash, the
     window minimum is a transform over a sliding index sequence. Returns
     (id, fingerprints array<long>, n_fingerprints)."""
-    toks = F.split(F.lower(F.col(text_col)), r"\s+")
-    n = F.size(toks)
-    kg_idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    kgram_hashes = F.transform(
-        kg_idx,
-        lambda i: (token_hash_expr(F.concat_ws(" ", F.slice(toks, i + 1, k)))
-                   % F.lit(MERSENNE_61)).cast("long"),
+    # Stage each array as a materialized column: a nested lambda that
+    # references an un-staged array expression makes Catalyst re-evaluate the
+    # whole producer (md5 per k-gram) PER OUTER INDEX — O(m²) hashing. With
+    # staging it is computed once per row.
+    staged = (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_text"))
+        .withColumn("_toks", F.split(F.lower(F.col("_text")), r"\s+"))
+        .withColumn(
+            "_kg",
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size("_toks") - k, F.lit(0))),
+                lambda i: (
+                    token_hash_expr(F.concat_ws(" ", F.slice(F.col("_toks"), i + 1, k)))
+                    % F.lit(MERSENNE_61)
+                ).cast("long"),
+            ),
+        )
+        .withColumn(
+            "_mins",
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size("_kg") - window, F.lit(0))),
+                lambda i: F.array_min(F.slice(F.col("_kg"), i + 1, window)),
+            ),
+        )
+        .withColumn("fingerprints", F.array_distinct("_mins"))
     )
-    m = F.size(kgram_hashes)
-    win_idx = F.sequence(F.lit(0), F.greatest(m - window, F.lit(0)))
-    mins = F.transform(win_idx, lambda i: F.array_min(F.slice(kgram_hashes, i + 1, window)))
-    fps = F.array_distinct(mins)
-    return df.select(
-        F.col(id_col).alias("id"),
-        fps.alias("fingerprints"),
-        F.size(fps).alias("n_fingerprints"),
+    return staged.select(
+        "id", "fingerprints", F.size("fingerprints").alias("n_fingerprints")
     )
