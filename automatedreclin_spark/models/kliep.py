@@ -1,0 +1,185 @@
+"""KLIEP density-ratio estimation for the continuous_nonparametric family.
+
+Direct importance estimation by Kullback-Leibler Importance Estimation
+Procedure (Sugiyama et al., NIPS 2007 / Ann. Inst. Stat. Math. 2008): model
+r(γ) = Σ_l α_l K_σ(γ, c_l), maximize Σ_i log r(x_i) over numerator samples
+subject to mean_j r(y_j) = 1 over denominator samples and α ≥ 0, with σ
+chosen by K-fold likelihood cross-validation.
+
+The reference wraps densityratio::kliep per variable on the POSITIVE gammas
+only, with the hurdle mass term handled separately (``fit_kliep_hurdle_models``
+internals.R:309-320, ``kliep_hurdle_ratio`` internals.R:406-421).
+
+Spark split: the numerator sample (match side) is small by construction
+(≤ min(n_A, n_B)); the denominator sample is capped (documented deviation —
+the reference uses all of U, which is single-node-feasible only). The FIT is
+driver-side numpy; SCORING is an Arrow-batched pandas UDF with the tiny
+(centers, α, σ) model broadcast in the closure.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+
+@dataclass
+class KliepModel:
+    centers: np.ndarray   # (L,)
+    alpha: np.ndarray     # (L,)
+    sigma: float
+
+    def predict(self, x: np.ndarray) -> np.ndarray:
+        k = np.exp(-((x[:, None] - self.centers[None, :]) ** 2) / (2 * self.sigma**2))
+        return k @ self.alpha
+
+
+def _fit_alpha(A: np.ndarray, b: np.ndarray, max_iter: int = 200, tol: float = 1e-6) -> np.ndarray:
+    """KLIEP inner loop: projected gradient ascent on Σ log(Aα) with the
+    constraints b'α = 1, α ≥ 0 (Sugiyama 2008, Fig. 2)."""
+    L = A.shape[1]
+    alpha = np.full(L, 1.0 / max(b.sum(), 1e-300))
+    bb = b @ b
+    eps_grid = [1.0, 0.1, 0.01, 0.001]
+    prev_obj = -np.inf
+    for _ in range(max_iter):
+        r = A @ alpha
+        r = np.maximum(r, 1e-300)
+        for eps in eps_grid:
+            cand = alpha + eps * (A.T @ (1.0 / r)) / A.shape[0]
+            cand = cand + (1.0 - b @ cand) * b / bb
+            cand = np.maximum(0.0, cand)
+            s = b @ cand
+            if s <= 0:
+                continue
+            cand = cand / s
+            obj = np.log(np.maximum(A @ cand, 1e-300)).sum()
+            if obj > prev_obj:
+                alpha = cand
+                break
+        else:
+            break
+        if obj - prev_obj < tol * max(1.0, abs(prev_obj)):
+            prev_obj = obj
+            break
+        prev_obj = obj
+    return alpha
+
+
+def fit_kliep(
+    x_numerator: np.ndarray,
+    x_denominator: np.ndarray,
+    n_centers: int = 100,
+    sigmas: list[float] | None = None,
+    n_folds: int = 5,
+    seed: int = 1,
+) -> KliepModel:
+    """Univariate KLIEP fit with likelihood CV over a sigma grid. Centers are
+    deterministic numerator quantiles (the reference samples; we trade exact
+    parity for reproducibility, which the driver's F1 check allows)."""
+    x_num = np.asarray(x_numerator, dtype=np.float64)
+    x_den = np.asarray(x_denominator, dtype=np.float64)
+    if len(x_num) < 2 or len(x_den) < 2:
+        raise ValueError("KLIEP needs at least two positive comparisons per side.")
+
+    L = min(n_centers, len(x_num))
+    centers = np.quantile(x_num, np.linspace(0, 1, L))
+
+    if sigmas is None:
+        spread = np.subtract(*np.percentile(np.concatenate([x_num, x_den]), [90, 10]))
+        base = max(float(spread), 1e-3)
+        sigmas = [base * f for f in (0.1, 0.25, 0.5, 1.0, 2.0)]
+
+    def kernel(x: np.ndarray, sigma: float) -> np.ndarray:
+        return np.exp(-((x[:, None] - centers[None, :]) ** 2) / (2 * sigma**2))
+
+    rng = np.random.default_rng(seed)
+    folds = rng.integers(0, n_folds, size=len(x_num))
+
+    best_sigma, best_score = sigmas[0], -np.inf
+    for sigma in sigmas:
+        K_den = kernel(x_den, sigma)
+        b = K_den.mean(axis=0)
+        if not np.all(np.isfinite(b)) or b.sum() <= 0:
+            continue
+        score = 0.0
+        ok = True
+        for f in range(n_folds):
+            tr = x_num[folds != f]
+            te = x_num[folds == f]
+            if len(tr) < 1 or len(te) < 1:
+                continue
+            alpha = _fit_alpha(kernel(tr, sigma), b)
+            r_te = kernel(te, sigma) @ alpha
+            if np.any(r_te <= 0):
+                ok = False
+                break
+            score += np.log(r_te).mean()
+        if ok and score > best_score:
+            best_score, best_sigma = score, sigma
+
+    K_den = kernel(x_den, best_sigma)
+    alpha = _fit_alpha(kernel(x_num, best_sigma), K_den.mean(axis=0))
+    return KliepModel(centers=centers, alpha=alpha, sigma=best_sigma)
+
+
+def kliep_positive_udf(model: KliepModel) -> Column:
+    """Vectorized scorer r⁺(γ) for positive gammas: one (batch × L) kernel
+    matmul per Arrow batch (``predict_kliep_positive`` internals.R:328-340)."""
+    centers = model.centers
+    alpha = model.alpha
+    sigma = model.sigma
+
+    @pandas_udf("double")
+    def _score(g: pd.Series) -> pd.Series:
+        x = g.to_numpy(dtype=np.float64)
+        k = np.exp(-((x[:, None] - centers[None, :]) ** 2) / (2 * sigma**2))
+        return pd.Series(k @ alpha)
+
+    return _score
+
+
+def kliep_hurdle_ratio_expr(
+    gamma_cols: list[str],
+    p_0_num: list[float],
+    p_0_den: list[float],
+    models: dict[str, KliepModel | None],
+) -> Column:
+    """Per-row hurdle KLIEP ratio, product over variables
+    (``kliep_hurdle_ratio`` internals.R:406-421):
+        γ=0 → p0_num/p0_den ;  γ>0 → (1−p0_num)/(1−p0_den) · r⁺(γ)
+    Variables without a model use only the mass term."""
+    from functools import reduce
+
+    terms = []
+    for i, g in enumerate(gamma_cols):
+        mass0 = float(p_0_num[i]) / float(p_0_den[i]) if p_0_den[i] else float("inf")
+        mass_pos = (
+            (1.0 - float(p_0_num[i])) / (1.0 - float(p_0_den[i]))
+            if p_0_den[i] < 1.0 else float("inf")
+        )
+        model = models.get(g)
+        if model is not None:
+            pos = F.lit(mass_pos) * kliep_positive_udf(model)(F.col(g))
+        else:
+            pos = F.lit(1.0)
+        terms.append(F.when(F.col(g) == 0, F.lit(mass0)).otherwise(pos))
+    return reduce(lambda x, y: x * y, terms)
+
+
+def collect_positive_gammas(
+    df, gamma_col: str, cap: int = 20_000, seed: int = 1
+) -> np.ndarray:
+    """Collect positive gammas to the driver, down-sampling past ``cap``
+    (deterministic seed). The match side is small by construction; the cap
+    guards the denominator side at scale."""
+    base = df.select(gamma_col).filter(F.col(gamma_col) > 0)
+    n = base.count()
+    if n > cap:
+        base = base.sample(fraction=min(1.0, 1.2 * cap / n), seed=seed).limit(cap)
+    return base.toPandas()[gamma_col].to_numpy(dtype=np.float64)

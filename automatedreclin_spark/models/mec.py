@@ -59,6 +59,8 @@ class MecResult:
     set_construction: str
     b_params: pd.DataFrame | None = None
     cpar_params: pd.DataFrame | None = None
+    cnonpar_params: pd.DataFrame | None = None
+    kliep_models: dict | None = None
     eval_metrics: dict[str, float] | None = None
     confusion: list[list[int]] | None = None
     scored: DataFrame | None = None       # final Ω with ratio / g_est columns
@@ -146,13 +148,9 @@ def mec(
     b_vars = [v for v in variables if methods[v] == "binary"]
     cpar_vars = [v for v in variables if methods[v] == "continuous_parametric"]
     cnonpar_vars = [v for v in variables if methods[v] == "continuous_nonparametric"]
-    if cnonpar_vars:
-        raise NotImplementedError(
-            "continuous_nonparametric (KLIEP) lands in models/kliep.py; "
-            "use binary or continuous_parametric."
-        )
     b_gammas = [gamma_name(v) for v in b_vars]
     cpar_gammas = [gamma_name(v) for v in cpar_vars]
+    cnonpar_gammas = [gamma_name(v) for v in cnonpar_vars]
 
     rng = np.random.default_rng(seed)
     start_params = dict(start_params or {})
@@ -164,6 +162,10 @@ def mec(
             "alpha_M": rng.uniform(0.1, 1.0, len(cpar_vars)).tolist(),
             "beta_M": rng.uniform(10.0, 20.0, len(cpar_vars)).tolist(),
         }
+    if cnonpar_gammas and "continuous_nonparametric" not in start_params:
+        start_params["continuous_nonparametric"] = {
+            "p_0_M": rng.uniform(0.5, 1.0, len(cnonpar_gammas)).tolist(),
+        }
 
     # ---- init: U-side ("denominator") parameters from ALL of Ω -------------
     init_aggs: list = []
@@ -171,6 +173,11 @@ def mec(
         init_aggs += fam.binary_fit_aggs(b_gammas, "eta")
     if cpar_gammas:
         init_aggs += fam.cpar_fit_aggs(cpar_gammas, "U")
+    if cnonpar_gammas:
+        init_aggs += [
+            F.avg((F.col(g) == 0).cast("double")).alias(f"np_p0U_{g}")
+            for g in cnonpar_gammas
+        ]
     init_row = omega.agg(*init_aggs).collect()[0].asDict()
 
     theta_b = list(start_params.get("binary", {}).get("theta", []))
@@ -192,9 +199,39 @@ def mec(
         denom_cols["cpar_denominator"] = fam.hurdle_gamma_product_expr(
             cpar_gammas, p_0_U, alpha_U, beta_U
         )
+    if cnonpar_gammas:
+        # Seed-membership flag drives the random cnonpar ratio init
+        # (unsupervised_learning.R:428-456); per-row uniforms derive from
+        # xxhash64(a, b) — deterministic across partitionings, unlike F.rand.
+        omega = omega.join(
+            seeds.select("a", "b").withColumn("_is_seed", F.lit(True)),
+            ["a", "b"], "left",
+        ).withColumn("_is_seed", F.coalesce("_is_seed", F.lit(False)))
     omega = omega.withColumns(denom_cols).persist(StorageLevel.MEMORY_AND_DISK)
 
-    def ratio_expr(th_b, p0m, am, bm):
+    cnonpar_expr = None
+    np_p0_M: list[float] = []
+    np_p0_U: list[float] = []
+    kliep_models: dict[str, object] = {}
+    if cnonpar_gammas:
+        from automatedreclin_spark.models.kliep import kliep_hurdle_ratio_expr
+
+        np_p0_M = list(start_params["continuous_nonparametric"]["p_0_M"])
+        np_p0_U = [float(init_row[f"np_p0U_{g}"]) for g in cnonpar_gammas]
+        terms = []
+        for i, g in enumerate(cnonpar_gammas):
+            u = (F.pmod(F.xxhash64(F.col("a"), F.col("b"), F.lit(i), F.lit(seed)),
+                        F.lit(1_000_000)) / 1_000_000.0)
+            r_temp = F.when(F.col("_is_seed"), 5.0 + 5.0 * u).otherwise(0.1 + 0.9 * u)
+            mass0 = np_p0_M[i] / np_p0_U[i] if np_p0_U[i] else float("inf")
+            mass_pos = (1.0 - np_p0_M[i]) / (1.0 - np_p0_U[i]) if np_p0_U[i] < 1 else float("inf")
+            terms.append(
+                F.when(F.col(g) == 0, F.lit(mass0)).otherwise(F.lit(mass_pos) * r_temp)
+            )
+        from functools import reduce as _reduce
+        cnonpar_expr = _reduce(lambda x, y: x * y, terms)
+
+    def ratio_expr(th_b, p0m, am, bm, np_expr):
         expr = F.lit(1.0)
         if b_gammas:
             expr = expr * (fam.bernoulli_product_expr(b_gammas, th_b) / F.col("b_denominator"))
@@ -203,9 +240,13 @@ def mec(
                 fam.hurdle_gamma_product_expr(cpar_gammas, p0m, am, bm)
                 / F.col("cpar_denominator")
             )
+        if np_expr is not None:
+            expr = expr * np_expr
         return expr
 
-    scored = omega.withColumn("ratio", ratio_expr(theta_b, p_0_M, alpha_M, beta_M))
+    scored = omega.withColumn(
+        "ratio", ratio_expr(theta_b, p_0_M, alpha_M, beta_M, cnonpar_expr)
+    )
 
     # Seed matches within Ω (exact_match_idx, unsupervised_learning.R:313-317).
     n_M_count = seeds.join(omega.select("a", "b"), ["a", "b"], "left_semi").count()
@@ -235,16 +276,19 @@ def mec(
             convergence_reason = "empty_selection"
             break
 
-        # (c) convergence: |Δn_M| < delta or ‖Δparams‖₂ < eps (from iter 2).
+        # (c) convergence: |Δn_M| < delta or ‖Δparams‖₂ < eps (from iter 2);
+        #     with cnonpar variables only the count criterion applies
+        #     (unsupervised_learning.R:536-548).
         if n_iter >= 2:
-            old = np.array(theta_b_old + cpar_old[0] + cpar_old[1] + cpar_old[2])
-            new = np.array(theta_b + p_0_M + alpha_M + beta_M)
             if abs(n_M_old - n_M) < delta:
                 convergence_reason = "n_M_delta"
                 break
-            if len(old) and float(np.linalg.norm(old - new)) < eps:
-                convergence_reason = "param_eps"
-                break
+            if not cnonpar_gammas:
+                old = np.array(theta_b_old + cpar_old[0] + cpar_old[1] + cpar_old[2])
+                new = np.array(theta_b + p_0_M + alpha_M + beta_M)
+                if len(old) and float(np.linalg.norm(old - new)) < eps:
+                    convergence_reason = "param_eps"
+                    break
 
         # (d) re-estimate M-side parameters from the current selection —
         #     one aggregation pass over M (filtered Ω, no collect of rows).
@@ -253,7 +297,7 @@ def mec(
             m_aggs += fam.binary_fit_aggs(b_gammas, "theta")
         if cpar_gammas:
             m_aggs += fam.cpar_fit_aggs(cpar_gammas, "M")
-        m_row = M_selected.agg(*m_aggs).collect()[0].asDict()
+        m_row = M_selected.agg(*m_aggs).collect()[0].asDict() if m_aggs else {}
 
         if b_gammas:
             theta_b_old = list(theta_b)
@@ -263,8 +307,61 @@ def mec(
             p_0_M, alpha_M, beta_M = fam.cpar_params_from_row(
                 m_row, cpar_gammas, "M", fallback_beta=cpar_old[2]
             )
+        if cnonpar_gammas:
+            # Refit hurdle masses + per-variable KLIEP on M vs U positives
+            # (unsupervised_learning.R:588-627). On failure keep the previous
+            # cnonpar ratio term (warning semantics of warn_kliep_once).
+            import warnings
 
-        scored = omega.withColumn("ratio", ratio_expr(theta_b, p_0_M, alpha_M, beta_M))
+            from automatedreclin_spark.models.kliep import (
+                collect_positive_gammas,
+                fit_kliep,
+                kliep_hurdle_ratio_expr,
+            )
+
+            U_df = scored.join(M_selected.select("a", "b"), ["a", "b"], "left_anti")
+            p0_rows = M_selected.agg(*[
+                F.avg((F.col(g) == 0).cast("double")).alias(g) for g in cnonpar_gammas
+            ]).collect()[0].asDict()
+            p0_u_rows = U_df.agg(*[
+                F.avg((F.col(g) == 0).cast("double")).alias(g) for g in cnonpar_gammas
+            ]).collect()[0].asDict()
+            new_models: dict[str, object] = {}
+            fitted_any = False
+            for g in cnonpar_gammas:
+                x_num = collect_positive_gammas(M_selected, g, seed=seed)
+                x_den = collect_positive_gammas(U_df, g, seed=seed)
+                if len(x_num) >= 2 and len(x_den) >= 2:
+                    try:
+                        new_models[g] = fit_kliep(x_num, x_den, seed=seed)
+                        fitted_any = True
+                    except Exception as e:  # noqa: BLE001 - mirror tryCatch
+                        warnings.warn(f"KLIEP issue in mec() for {g}: {e}")
+                        new_models[g] = None
+                else:
+                    new_models[g] = None
+            if fitted_any:
+                np_p0_M = [float(p0_rows[g]) for g in cnonpar_gammas]
+                np_p0_U = [float(p0_u_rows[g]) for g in cnonpar_gammas]
+                kliep_models = new_models
+                missing = [g for g, m in new_models.items() if m is None]
+                if missing:
+                    warnings.warn(
+                        "KLIEP issue in mec(): using only the hurdle mass term "
+                        f"for {missing} in the current iteration."
+                    )
+                cnonpar_expr = kliep_hurdle_ratio_expr(
+                    cnonpar_gammas, np_p0_M, np_p0_U, kliep_models
+                )
+            else:
+                warnings.warn(
+                    "KLIEP issue in mec(): could not be fitted in the current "
+                    "iteration; using the previous ratio estimate."
+                )
+
+        scored = omega.withColumn(
+            "ratio", ratio_expr(theta_b, p_0_M, alpha_M, beta_M, cnonpar_expr)
+        )
         if verbose:
             print(f"[mec] iter={n_iter} n_M={n_M:.4f} theta_b={theta_b} "
                   f"p_0_M={p_0_M} alpha_M={alpha_M} beta_M={beta_M}")
@@ -313,6 +410,10 @@ def mec(
             cpar_gammas, p_0_M=p_0_M, alpha_M=alpha_M, beta_M=beta_M,
             p_0_U=p_0_U, alpha_U=alpha_U, beta_U=beta_U,
         ),
+        cnonpar_params=_param_table(
+            cnonpar_gammas, p_0_M_cnonpar=np_p0_M, p_0_U_cnonpar=np_p0_U,
+        ),
+        kliep_models=kliep_models or None,
         eval_metrics=eval_metrics,
         confusion=confusion,
         scored=scored,

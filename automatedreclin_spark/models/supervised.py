@@ -39,6 +39,8 @@ class RecLinModel:
     match_prop: float
     b_params: pd.DataFrame | None = None
     cpar_params: pd.DataFrame | None = None
+    cnonpar_params: pd.DataFrame | None = None
+    kliep_models: dict | None = None
     #: optional custom classifier: callable(omega_with_gammas) -> DataFrame
     #: with an added `prob` column (A14 extension point, predict.R:163-194).
     ml_model: Callable[[DataFrame], DataFrame] | None = None
@@ -103,10 +105,9 @@ def train_rec_lin(
     b_vars = [v for v in variables if methods[v] == "binary"]
     cpar_vars = [v for v in variables if methods[v] == "continuous_parametric"]
     cnonpar_vars = [v for v in variables if methods[v] == "continuous_nonparametric"]
-    if cnonpar_vars:
-        raise NotImplementedError("continuous_nonparametric (KLIEP) not yet wired here.")
     b_gammas = [gamma_name(v) for v in b_vars]
     cpar_gammas = [gamma_name(v) for v in cpar_vars]
+    cnonpar_gammas = [gamma_name(v) for v in cnonpar_vars]
 
     M = omega.filter(F.col("match") == 1)
     U = omega.filter(F.col("match") == 0)
@@ -160,6 +161,47 @@ def train_rec_lin(
             "beta_M": beta_M, f"beta_{denom_label}": beta_D,
         })
 
+    cnonpar_params = None
+    kliep_models: dict | None = None
+    if cnonpar_gammas:
+        # One-shot KLIEP hurdle fit: M vs Ω (ratio-1) or U (ratio-2)
+        # (supervised_learning.R:323-407).
+        from automatedreclin_spark.models.kliep import (
+            collect_positive_gammas,
+            fit_kliep,
+        )
+
+        p0m = M.agg(*[
+            F.avg((F.col(g) == 0).cast("double")).alias(g) for g in cnonpar_gammas
+        ]).collect()[0].asDict()
+        p0d = denom_df.agg(*[
+            F.avg((F.col(g) == 0).cast("double")).alias(g) for g in cnonpar_gammas
+        ]).collect()[0].asDict()
+        kliep_models = {}
+        missing = []
+        for g in cnonpar_gammas:
+            x_num = collect_positive_gammas(M, g)
+            x_den = collect_positive_gammas(denom_df, g)
+            if len(x_num) >= 2 and len(x_den) >= 2:
+                try:
+                    kliep_models[g] = fit_kliep(x_num, x_den)
+                    continue
+                except Exception:  # noqa: BLE001
+                    pass
+            kliep_models[g] = None
+            missing.append(g)
+        if missing:
+            warnings.warn(
+                f"KLIEP issue in train_rec_lin() for {missing}: insufficient "
+                "positive comparisons; using only the hurdle mass term for "
+                "those variables."
+            )
+        cnonpar_params = pd.DataFrame({
+            "variable": cnonpar_gammas,
+            "p_0_M_cnonpar": [float(p0m[g]) for g in cnonpar_gammas],
+            "p_0_U_cnonpar": [float(p0d[g]) for g in cnonpar_gammas],
+        })
+
     omega.unpersist()
     return RecLinModel(
         variables=variables,
@@ -170,6 +212,8 @@ def train_rec_lin(
         match_prop=cv.match_prop,
         b_params=b_params,
         cpar_params=cpar_params,
+        cnonpar_params=cnonpar_params,
+        kliep_models=kliep_models,
     )
 
 
@@ -193,6 +237,16 @@ def _score_ratio(omega: DataFrame, model: RecLinModel) -> DataFrame:
             / fam.hurdle_gamma_product_expr(
                 gs, list(p[f"p_0_{denom_label}"]), list(p[f"alpha_{denom_label}"]), list(p[f"beta_{denom_label}"])
             )
+        )
+    if model.cnonpar_params is not None:
+        from automatedreclin_spark.models.kliep import kliep_hurdle_ratio_expr
+
+        p = model.cnonpar_params
+        expr = expr * kliep_hurdle_ratio_expr(
+            list(p["variable"]),
+            list(p["p_0_M_cnonpar"]),
+            list(p["p_0_U_cnonpar"]),
+            model.kliep_models or {},
         )
     return omega.withColumn("ratio", expr)
 

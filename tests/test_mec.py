@@ -84,3 +84,20 @@ def test_mec_one_to_one_contract(data):
     m = res.M_est.toPandas()
     assert m["a"].is_unique and m["b"].is_unique
     assert len(m) == round(res.n_M_est)
+
+
+def test_cnonpar_mec_decision_parity(data):
+    """cnonpar MEC selects exactly the four exact-agreement pairs with
+    eval (FLR 0, MMR 0.5) — decision parity with test_mec.R:84-98 (exact
+    ratio floats are RNG-dependent in the reference)."""
+    A, B, true = data
+    comp = {"name": jarowinkler_complement(), "surname": jarowinkler_complement()}
+    meth = {"name": "continuous_nonparametric", "surname": "continuous_nonparametric"}
+    res = mec(A, B, variables=["name", "surname"], comparators=comp,
+              methods=meth, true_matches=true)
+    m = res.M_est.orderBy("a").toPandas()
+    assert list(m["a"]) == [1, 2, 3, 4]
+    assert list(m["b"]) == [1, 2, 3, 4]
+    assert 3.0 <= res.n_M_est <= 5.0
+    assert res.eval_metrics == {"FLR": 0.0, "MMR": 0.5}
+    assert res.cnonpar_params is not None

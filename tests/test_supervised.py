@@ -119,3 +119,21 @@ def test_custom_ml_model_plugin(tables):
     pred = predict_rec_lin(model, newA, newB)
     m = pred.M_est.toPandas()
     assert {(r.a, r.b) for r in m.itertuples()} >= {(1, 1), (3, 3)}
+
+
+def test_train_predict_cnonpar(tables):
+    """cnonpar (KLIEP) supervised path: golden hurdle masses
+    (test_supervised_learning.R:119-135) + decision parity on predictions
+    (M_est set {(1,1),(2,2),(3,3)}, mmr 0; :209-221)."""
+    A, B, matches, newA, newB, _ = tables
+    comp = {"name": jarowinkler_complement(), "surname": jarowinkler_complement()}
+    meth = {"name": "continuous_nonparametric", "surname": "continuous_nonparametric"}
+    model = train_rec_lin(A, B, matches, variables=["name", "surname"],
+                          comparators=comp, methods=meth)
+    p = model.cnonpar_params
+    assert list(p["p_0_M_cnonpar"]) == pytest.approx([0.5, 0.5], abs=1e-12)
+    assert list(p["p_0_U_cnonpar"]) == pytest.approx([0.02, 0.02], abs=1e-12)
+    pred = predict_rec_lin(model, newA, newB)
+    m = pred.M_est.orderBy("a").toPandas()
+    assert {(r.a, r.b) for r in m.itertuples()} == {(1, 1), (2, 2), (3, 3)}
+    assert pred.mmr_est == 0
