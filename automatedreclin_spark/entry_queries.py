@@ -597,3 +597,81 @@ ORACLES.update({
     # engine-specific or approximate -> rows-only checks; semantics pinned in
     # tests/test_ops_*.py.
 })
+
+
+# ------------------------------------------------ clustering / model paths ---
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clusters: connected components
+    (operators/clustering.py large-star/small-star) over the LSH-verified
+    near-dup pair graph. Oracle = recursive-CTE min-label closure in DuckDB."""
+    from automatedreclin_spark.operators.clustering import connected_components
+    from automatedreclin_spark.ops.dedup import minhash_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_dedup(docs, "doc_id", "text", n_hashes=16, bands=4, threshold=0.5)
+    comp = connected_components(pairs.select(
+        F.col("id_a").alias("u"), F.col("id_b").alias("v")
+    ))
+    return comp.select(F.col("id").alias("doc_id"), F.col("component").alias("cluster_id"))
+
+
+def _dedup_clusters_oracle() -> str:
+    pair_sql = _minhash_lsh_oracle()
+    return f"""
+WITH RECURSIVE pairs AS ({pair_sql}),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION ALL
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+nodes AS (SELECT DISTINCT u AS id FROM edges),
+reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.id
+)
+SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id
+"""
+
+
+def q_blocked_mec_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked inverted MEC (models/blocked_mec.py) on the derived record
+    sets — iterative fit, rows-only check."""
+    from automatedreclin_spark.models.blocked_mec import blocked_mec
+
+    A, B = _record_sets(spark, sf_dir)
+    res = blocked_mec(A, B, variables=["name", "seg"])
+    return res.M_est.orderBy("block", "a", "b")
+
+
+def q_supervised_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supervised train → predict (models/supervised.py): train on the
+    same-custkey labels within candidates, score a derived holdout.
+    Iterative fixed point — rows-only check."""
+    from automatedreclin_spark.models.supervised import predict_rec_lin, train_rec_lin
+    from automatedreclin_spark.operators.pairs import block_pairs as _bp
+
+    A, B = _record_sets(spark, sf_dir)
+    trainA = A.filter(F.col("a") % 7 != 0)
+    trainB = B.filter(F.col("b") % 7 != 0)
+    matches = (
+        trainA.select("a").join(trainB.select("b"), F.col("a") == F.col("b"))
+        .select("a", "b")
+    )
+    model = train_rec_lin(trainA, trainB, matches, variables=["name", "seg"])
+    holdA = A.filter(F.col("a") % 7 == 0)
+    holdB = B.filter(F.col("b") % 7 == 0)
+    pred = predict_rec_lin(model, holdA, holdB,
+                           pairs=_bp(holdA, holdB, dedup=False).select("a", "b"))
+    return pred.M_est.orderBy("a", "b")
+
+
+QUERIES.update({
+    "dedup_clusters": q_dedup_clusters,
+    "blocked_mec_customer": q_blocked_mec_customer,
+    "supervised_predict": q_supervised_predict,
+})
+ORACLES.update({
+    "dedup_clusters": _dedup_clusters_oracle(),
+})

@@ -51,3 +51,43 @@ def pairwise_f1(TP: int, FP: int, FN: int) -> float:
     metric (BASELINE.json)."""
     denom = 2 * TP + FP + FN
     return 2 * TP / denom if denom else 0.0
+
+
+def blocking_diagnostics(
+    true_matches: "DataFrame", candidate_pairs: "DataFrame", full_pairs: int
+) -> dict:
+    """E4 — recall of true matches preserved by blocking + pair reduction
+    (reference internals.R:834-853)."""
+    n_true = true_matches.count()
+    preserved = true_matches.join(
+        candidate_pairs.select("a", "b"), ["a", "b"], "left_semi"
+    ).count()
+    blocked_pairs = candidate_pairs.count()
+    return {
+        "true_matches": n_true,
+        "preserved_matches": preserved,
+        "lost_matches": n_true - preserved,
+        "blocking_recall": preserved / n_true if n_true else float("nan"),
+        "blocking_fnr": (n_true - preserved) / n_true if n_true else float("nan"),
+        "blocked_pairs": blocked_pairs,
+        "full_pairs": full_pairs,
+    }
+
+
+def mec_selection_diagnostics(
+    M_est: "DataFrame", true_matches: "DataFrame", candidate_pairs: "DataFrame"
+) -> dict:
+    """E5 — candidate recall and FLR within the candidate space
+    (reference internals.R:856-881)."""
+    cand_truth = true_matches.join(
+        candidate_pairs.select("a", "b"), ["a", "b"], "left_semi"
+    )
+    n_cand_truth = cand_truth.count()
+    n_sel = M_est.count()
+    tp = M_est.select("a", "b").join(cand_truth, ["a", "b"], "inner").count()
+    return {
+        "candidate_true_matches": n_cand_truth,
+        "selected": n_sel,
+        "candidate_recall": tp / n_cand_truth if n_cand_truth else float("nan"),
+        "candidate_flr": 1 - tp / n_sel if n_sel else float("nan"),
+    }

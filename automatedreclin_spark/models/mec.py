@@ -43,7 +43,7 @@ from automatedreclin_spark.operators.selection import (
 )
 from automatedreclin_spark.evaluation import evaluation, get_metrics, get_confusion
 
-ALLOWED_METHODS = ("binary", "continuous_parametric", "continuous_nonparametric")
+ALLOWED_METHODS = ("binary", "continuous_parametric", "continuous_nonparametric", "hit_miss")
 
 
 @dataclass
@@ -60,6 +60,7 @@ class MecResult:
     b_params: pd.DataFrame | None = None
     cpar_params: pd.DataFrame | None = None
     cnonpar_params: pd.DataFrame | None = None
+    hm_params: pd.DataFrame | None = None
     kliep_models: dict | None = None
     eval_metrics: dict[str, float] | None = None
     confusion: list[list[int]] | None = None
@@ -148,9 +149,11 @@ def mec(
     b_vars = [v for v in variables if methods[v] == "binary"]
     cpar_vars = [v for v in variables if methods[v] == "continuous_parametric"]
     cnonpar_vars = [v for v in variables if methods[v] == "continuous_nonparametric"]
+    hm_vars = [v for v in variables if methods[v] == "hit_miss"]
     b_gammas = [gamma_name(v) for v in b_vars]
     cpar_gammas = [gamma_name(v) for v in cpar_vars]
     cnonpar_gammas = [gamma_name(v) for v in cnonpar_vars]
+    hm_gammas = [gamma_name(v) for v in hm_vars]
 
     rng = np.random.default_rng(seed)
     start_params = dict(start_params or {})
@@ -166,6 +169,8 @@ def mec(
         start_params["continuous_nonparametric"] = {
             "p_0_M": rng.uniform(0.5, 1.0, len(cnonpar_gammas)).tolist(),
         }
+    if hm_gammas and "hit_miss" not in start_params:
+        start_params["hit_miss"] = {"theta": rng.uniform(0.9, 1.0, len(hm_gammas)).tolist()}
 
     # ---- init: U-side ("denominator") parameters from ALL of Ω -------------
     init_aggs: list = []
@@ -178,10 +183,19 @@ def mec(
             F.avg((F.col(g) == 0).cast("double")).alias(f"np_p0U_{g}")
             for g in cnonpar_gammas
         ]
+    if hm_gammas:
+        init_aggs += fam.binary_fit_aggs(hm_gammas, "hm_eta")
     init_row = omega.agg(*init_aggs).collect()[0].asDict()
 
     theta_b = list(start_params.get("binary", {}).get("theta", []))
     eta_b = [float(init_row[f"eta_{g}"]) for g in b_gammas]
+    theta_hm = list(start_params.get("hit_miss", {}).get("theta", []))
+    eta_hm = [float(init_row[f"hm_eta_{g}"]) for g in hm_gammas]
+    hm_value_models = None
+    if hm_gammas:
+        from automatedreclin_spark.models.hit_miss import fit_value_models
+
+        hm_value_models = fit_value_models(A, B, hm_vars)
 
     p_0_M = list(start_params.get("continuous_parametric", {}).get("p_0_M", []))
     alpha_M = list(start_params.get("continuous_parametric", {}).get("alpha_M", []))
@@ -231,7 +245,7 @@ def mec(
         from functools import reduce as _reduce
         cnonpar_expr = _reduce(lambda x, y: x * y, terms)
 
-    def ratio_expr(th_b, p0m, am, bm, np_expr):
+    def ratio_expr(th_b, p0m, am, bm, np_expr, th_hm, et_hm):
         expr = F.lit(1.0)
         if b_gammas:
             expr = expr * (fam.bernoulli_product_expr(b_gammas, th_b) / F.col("b_denominator"))
@@ -242,10 +256,18 @@ def mec(
             )
         if np_expr is not None:
             expr = expr * np_expr
+        if hm_gammas:
+            # hm denominator is NOT invariant (eta is re-estimated from the
+            # EM each iteration, unsupervised_learning.R:735-745).
+            expr = expr * (
+                fam.bernoulli_product_expr(hm_gammas, th_hm)
+                / fam.bernoulli_product_expr(hm_gammas, et_hm)
+            )
         return expr
 
     scored = omega.withColumn(
-        "ratio", ratio_expr(theta_b, p_0_M, alpha_M, beta_M, cnonpar_expr)
+        "ratio",
+        ratio_expr(theta_b, p_0_M, alpha_M, beta_M, cnonpar_expr, theta_hm, eta_hm),
     )
 
     # Seed matches within Ω (exact_match_idx, unsupervised_learning.R:313-317).
@@ -253,6 +275,7 @@ def mec(
     n_M = float(n_M_count)
 
     theta_b_old = list(theta_b)
+    theta_hm_old = list(theta_hm)
     cpar_old = (list(p_0_M), list(alpha_M), list(beta_M))
     n_iter = 0
     convergence_reason = None
@@ -284,8 +307,9 @@ def mec(
                 convergence_reason = "n_M_delta"
                 break
             if not cnonpar_gammas:
-                old = np.array(theta_b_old + cpar_old[0] + cpar_old[1] + cpar_old[2])
-                new = np.array(theta_b + p_0_M + alpha_M + beta_M)
+                old = np.array(theta_b_old + cpar_old[0] + cpar_old[1] + cpar_old[2]
+                               + theta_hm_old)
+                new = np.array(theta_b + p_0_M + alpha_M + beta_M + theta_hm)
                 if len(old) and float(np.linalg.norm(old - new)) < eps:
                     convergence_reason = "param_eps"
                     break
@@ -297,6 +321,8 @@ def mec(
             m_aggs += fam.binary_fit_aggs(b_gammas, "theta")
         if cpar_gammas:
             m_aggs += fam.cpar_fit_aggs(cpar_gammas, "M")
+        if hm_gammas:
+            m_aggs += fam.binary_fit_aggs(hm_gammas, "hm_theta")
         m_row = M_selected.agg(*m_aggs).collect()[0].asDict() if m_aggs else {}
 
         if b_gammas:
@@ -359,8 +385,21 @@ def mec(
                     "iteration; using the previous ratio estimate."
                 )
 
+        if hm_gammas:
+            # Hit-miss EM: theta from M, u-distribution EM over B, eta from
+            # the value model (unsupervised_learning.R:647-746).
+            from automatedreclin_spark.models.hit_miss import hit_miss_em, hit_miss_eta
+
+            theta_hm_old = list(theta_hm)
+            theta_hm = [float(m_row[f"hm_theta_{g}"]) for g in hm_gammas]
+            p_est = n_M / max(n_A, n_B)
+            u = hit_miss_em(hm_value_models, p_est, rng)
+            eta_map = hit_miss_eta(hm_value_models, u, p_est, n_A)
+            eta_hm = [float(eta_map[v]) for v in hm_vars]
+
         scored = omega.withColumn(
-            "ratio", ratio_expr(theta_b, p_0_M, alpha_M, beta_M, cnonpar_expr)
+            "ratio",
+            ratio_expr(theta_b, p_0_M, alpha_M, beta_M, cnonpar_expr, theta_hm, eta_hm),
         )
         if verbose:
             print(f"[mec] iter={n_iter} n_M={n_M:.4f} theta_b={theta_b} "
@@ -413,6 +452,7 @@ def mec(
         cnonpar_params=_param_table(
             cnonpar_gammas, p_0_M_cnonpar=np_p0_M, p_0_U_cnonpar=np_p0_U,
         ),
+        hm_params=_param_table(hm_gammas, theta=theta_hm, eta=eta_hm),
         kliep_models=kliep_models or None,
         eval_metrics=eval_metrics,
         confusion=confusion,

@@ -24,7 +24,10 @@ from pyspark.storagelevel import StorageLevel
 from automatedreclin_spark.models import families as fam
 from automatedreclin_spark.models.mec import _validate_methods
 from automatedreclin_spark.operators.comparison import comparison_vectors, gamma_name
-from automatedreclin_spark.operators.pairs import has_perfect_agreement, validate_pairs
+from automatedreclin_spark.operators.pairs import (
+    has_perfect_agreement,
+    validate_pairs_membership,
+)
 from automatedreclin_spark.operators.selection import summarize_mec_selection
 from automatedreclin_spark.evaluation import evaluation, get_metrics, get_confusion
 
@@ -90,8 +93,7 @@ def train_rec_lin(
     if comparators:
         comparators = {k: v for k, v in comparators.items() if k in variables}
 
-    n_A, n_B = A.count(), B.count()
-    validate_pairs(matches, n_A, n_B)
+    validate_pairs_membership(matches, A, B, a_col=a_col, b_col=b_col)
 
     cv = comparison_vectors(
         A, B, variables, comparators=comparators, matches=matches,

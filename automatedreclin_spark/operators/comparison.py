@@ -88,6 +88,13 @@ def comparison_vectors(
             a_col != "a" or b_col != "b"
         ) else pairs
 
+    # Comparator work is CPU-bound per pair; an under-partitioned pair table
+    # (e.g. produced inside one broadcast-join task) would serialize the whole
+    # gamma stage. Round-robin the narrow id table across the cluster first.
+    target = pair_df.sparkSession.sparkContext.defaultParallelism
+    if pair_df.rdd.getNumPartitions() < target:
+        pair_df = pair_df.repartition(target)
+
     a_vars = A.select(F.col(a_col).alias("a"), *[F.col(v).alias(f"_a_{v}") for v in variables])
     b_vars = B.select(F.col(b_col).alias("b"), *[F.col(v).alias(f"_b_{v}") for v in variables])
     if broadcast_records:

@@ -42,6 +42,15 @@ def block_pairs(
     """
     a_side = A.select(F.col(block_col).alias("block"), F.col(a_col).alias("a"))
     b_side = B.select(F.col(block_col).alias("block"), F.col(b_col).alias("b"))
+    # The join EXPANDS rows massively (pair explosion). If the probe side has
+    # fewer partitions than cores (small dims, single parquet file), the
+    # whole expansion runs in those few tasks regardless of cluster size —
+    # spread the probe side first (hash on (block, a): co-location on block
+    # is irrelevant under broadcast, and high-cardinality a evens the load).
+    spark = A.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if a_side.rdd.getNumPartitions() < target:
+        a_side = a_side.repartition(target, F.col("block"), F.col("a"))
     joined = a_side.join(b_side, "block")
     if dedup is None:
         dedup = True  # safe default; hot paths pass False for disjoint keys
@@ -73,6 +82,35 @@ def validate_pairs(pairs: DataFrame, n_A: int, n_B: int) -> None:
         raise ValueError("`pairs` contains row indices outside the input datasets.")
     if stats["n_distinct"] < stats["n"]:
         raise ValueError("`pairs` should not contain duplicate record pairs.")
+
+
+def validate_pairs_membership(
+    pairs: DataFrame, A: DataFrame, B: DataFrame,
+    a_col: str = "a", b_col: str = "b",
+) -> None:
+    """Stable-id generalization of the reference's positional pair validation
+    (internals.R:122-159): no NULLs, no duplicate pairs, and every id must
+    EXIST in its record set (bounds checks don't apply to non-positional
+    ids). Two anti-joins + one aggregation."""
+    if not {"a", "b"}.issubset(set(pairs.columns)):
+        raise ValueError("`pairs` should contain columns: a, b.")
+    stats = pairs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("a").isNull() | F.col("b").isNull(), 1).otherwise(0)).alias("nulls"),
+        F.count_distinct(F.col("a"), F.col("b")).alias("n_distinct"),
+    ).collect()[0]
+    if stats["nulls"] and stats["nulls"] > 0:
+        raise ValueError("`pairs` cannot contain missing values.")
+    if stats["n_distinct"] < stats["n"]:
+        raise ValueError("`pairs` should not contain duplicate record pairs.")
+    a_ids = A.select(F.col(a_col).alias("a"))
+    b_ids = B.select(F.col(b_col).alias("b"))
+    missing = (
+        pairs.select("a").join(a_ids, "a", "left_anti").limit(1).count()
+        + pairs.select("b").join(b_ids, "b", "left_anti").limit(1).count()
+    )
+    if missing:
+        raise ValueError("`pairs` contains record ids absent from the input datasets.")
 
 
 def exact_match_pairs(

@@ -1,0 +1,140 @@
+"""Two-cluster-size scaling evidence (the north rule's N vs 4N criterion).
+
+No real cluster exists in this sandbox, so the same scoring job runs at two
+local parallelism levels (local[8] vs local[32]) on identical input; the
+report is throughput at both plus scaling efficiency
+
+    eff = (throughput_4N / throughput_N) / 4
+
+Per-query times come from inside the JVM (bench.py timings), so session
+startup is excluded. Each query runs twice per level and the best time is
+kept (first run pays whole-stage-codegen compilation).
+
+Usage: python scripts/bench_scaling.py [sf_dir] → prints JSON + updates BENCH.md
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+
+SCORING_QUERIES = "scaling workload (see _scaling_job.py)"
+
+_JOB = r'''
+import json, os, sys, time
+sys.path.insert(0, os.environ["SPARK_GRAFT_REPO"])
+from automatedreclin_spark.session import get_spark
+from automatedreclin_spark.operators.comparison import comparison_vectors
+from automatedreclin_spark.operators.pairs import block_pairs
+from automatedreclin_spark.functions.comparators import (
+    jarowinkler_complement, levenshtein_norm, cmp_identical,
+)
+from pyspark.sql import functions as F
+
+cpus = int(os.environ["SPARK_GRAFT_CPUS"])
+sf_dir = os.environ["SPARK_GRAFT_SF_DIR"]
+spark = get_spark(app_name=f"scaling-{cpus}", cpus=cpus)
+
+# Dedicated compute-bound scoring workload: coarse blocks (nation % 8) give
+# ~13M candidate pairs at sf0.1; gammas = Jaro pandas UDF + native
+# levenshtein + binary — the north-rule scoring stage at a size where core
+# count, not fixed overhead, dominates.
+cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+A = cust.filter(F.col("c_custkey") % 3 != 0).select(
+    F.col("c_custkey").alias("a"), F.col("c_name").alias("name"),
+    F.col("c_mktsegment").alias("seg"),
+    (F.col("c_nationkey") % 8).cast("long").alias("block"))
+B = cust.filter(F.col("c_custkey") % 3 != 1).select(
+    F.col("c_custkey").alias("b"), F.col("c_name").alias("name"),
+    F.col("c_mktsegment").alias("seg"),
+    (F.col("c_nationkey") % 8).cast("long").alias("block"))
+pairs = block_pairs(A, B, dedup=False)
+
+def run_once():
+    cv = comparison_vectors(
+        A, B, ["name", "seg"],
+        comparators={"name": jarowinkler_complement(), "seg": cmp_identical()},
+        pairs=pairs, check_finite=False,
+    )
+    t0 = time.time()
+    cv.omega.write.format("noop").mode("overwrite").save()
+    dt = time.time() - t0
+    return cv.n, dt
+
+n, _ = run_once()          # warm: codegen + python workers + page cache
+best = min(run_once()[1] for _ in range(2))
+print(json.dumps({"cpus": cpus, "pairs": n, "sec": best,
+                  "pairs_per_sec": n / best}))
+'''
+
+
+def run_level(cpus: int, sf_dir: str) -> dict:
+    env = dict(os.environ)
+    env.update({
+        "SPARK_GRAFT_CPUS": str(cpus),
+        "SPARK_GRAFT_SF_DIR": sf_dir,
+        "SPARK_GRAFT_REPO": str(REPO),
+    })
+    out = subprocess.run(
+        [sys.executable, "-c", _JOB],
+        env=env, capture_output=True, text=True, timeout=3600,
+    )
+    lines = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
+    if not lines:
+        raise RuntimeError(out.stderr[-2000:])
+    return json.loads(lines[-1])
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    n, four_n = 8, 32
+    lo = run_level(n, sf_dir)
+    hi = run_level(four_n, sf_dir)
+    eff = (hi["pairs_per_sec"] / lo["pairs_per_sec"]) / (four_n / n)
+    result = {
+        "sf_dir": sf_dir,
+        "scoring_pairs": hi["pairs"],
+        f"pairs_per_sec_local[{n}]": round(lo["pairs_per_sec"], 1),
+        f"pairs_per_sec_local[{four_n}]": round(hi["pairs_per_sec"], 1),
+        "speedup": round(hi["pairs_per_sec"] / lo["pairs_per_sec"], 3),
+        "scaling_efficiency": round(eff, 3),
+        "sec": {"local8": round(lo["sec"], 2), "local32": round(hi["sec"], 2)},
+    }
+    print(json.dumps(result, indent=2))
+
+    bench_md = REPO / "BENCH.md"
+    lines = [
+        "# BENCH — throughput & scaling evidence",
+        "",
+        "North rule: candidate-pair scoring throughput with scaling efficiency",
+        "≥ 0.8 from N to 4N executors. No real cluster in this sandbox — the",
+        "same job runs at two local parallelism levels on identical input",
+        "(task instructions): `local[8]` vs `local[32]`.",
+        "",
+        "Workload: within-block pair expansion (J4) + comparison vectors",
+        "(Jaro-complement pandas UDF, binary equality, native levenshtein)",
+        "over coarse blocks of the customer-derived record sets — the",
+        "north-rule scoring stage, sized so compute (not fixed overhead)",
+        "dominates. Timing excludes session startup and codegen warmup",
+        "(best of 2 after a warm run, in-JVM).",
+        "",
+        f"- input: `{sf_dir}` ({hi['pairs']:,} scored candidate pairs)",
+        f"- seconds @ local[8]:  {lo['sec']:.2f}  → pairs/sec **{lo['pairs_per_sec']:,.0f}**",
+        f"- seconds @ local[32]: {hi['sec']:.2f}  → pairs/sec **{hi['pairs_per_sec']:,.0f}**",
+        f"- speedup 8→32 cores: **{hi['pairs_per_sec'] / lo['pairs_per_sec']:.2f}×** "
+        f"(ideal 4×) → scaling efficiency **{eff:.3f}**",
+        "",
+        "Generated by `python scripts/bench_scaling.py`.",
+        "",
+    ]
+    bench_md.write_text("\n".join(lines))
+    print(f"wrote {bench_md}")
+
+
+if __name__ == "__main__":
+    main()

@@ -151,3 +151,45 @@ def test_alpha_validation(spark):
         blocked_mec(A, B, ["name"], alpha=1.5)
     with pytest.raises(ValueError, match="binary and continuous_parametric"):
         blocked_mec(A, B, ["name"], methods={"name": "hit_miss"})
+
+
+def test_alpha_u_drop_diagnostics(spark):
+    """alpha > 0 exercises the U-fit drop (T6) and its reason codes."""
+    import numpy as np
+    rng = np.random.default_rng(6)
+    n = 60
+    names = [f"n{i:02d}" for i in range(n)]
+    b_names = [s if i % 2 == 0 else f"x{i:02d}" for i, s in enumerate(names)]
+    A = spark.createDataFrame(pd.DataFrame({
+        "a": range(1, n + 1), "name": names,
+        "city": [f"c{i % 3}" for i in range(n)], "block": [i % 4 for i in range(n)],
+    }))
+    B = spark.createDataFrame(pd.DataFrame({
+        "b": range(1, n + 1), "name": b_names,
+        "city": [f"c{i % 3}" for i in range(n)], "block": [i % 4 for i in range(n)],
+    }))
+    res = blocked_mec(A, B, ["name", "city"], alpha=0.3)
+    d = res.u_fit_diagnostics
+    assert list(d["reason"])[0] == "first_u_fit_full"
+    later = set(d["reason"][1:])
+    assert later <= {"alpha_reliability_drop", "requested_drop_zero",
+                     "minimum_sample_full_base"}
+    if "alpha_reliability_drop" in later:
+        applied = d[d["reason"] == "alpha_reliability_drop"]
+        assert (applied["n_U_fit"] < applied["n_U_current"]).all()
+    _contract(res)
+
+
+def test_evaluation_diagnostics_helpers(spark):
+    from automatedreclin_spark.evaluation import (
+        blocking_diagnostics,
+        mec_selection_diagnostics,
+    )
+    true = spark.createDataFrame(pd.DataFrame({"a": [1, 2, 3], "b": [1, 2, 3]}))
+    cand = spark.createDataFrame(pd.DataFrame({"a": [1, 2, 9], "b": [1, 2, 9]}))
+    sel = spark.createDataFrame(pd.DataFrame({"a": [1, 9], "b": [1, 9]}))
+    bd = blocking_diagnostics(true, cand, full_pairs=100)
+    assert bd["preserved_matches"] == 2 and bd["blocking_recall"] == pytest.approx(2 / 3)
+    md = mec_selection_diagnostics(sel, true, cand)
+    assert md["candidate_recall"] == pytest.approx(1 / 2)
+    assert md["candidate_flr"] == pytest.approx(1 / 2)

@@ -101,3 +101,22 @@ def test_cnonpar_mec_decision_parity(data):
     assert 3.0 <= res.n_M_est <= 5.0
     assert res.eval_metrics == {"FLR": 0.0, "MMR": 0.5}
     assert res.cnonpar_params is not None
+
+
+def test_hit_miss_mec_decision_parity(data):
+    """hit_miss MEC: golden match set (1..4, 1..4) and theta (1,1); eta is
+    EM-init-dependent (loose tol_em stops before the fixed point) — assert
+    5% parity with the R golden (0.04616, 0.03847) (test_mec.R:55-63)."""
+    A, B, true = data
+    meth = {"name": "hit_miss", "surname": "hit_miss"}
+    res = mec(A, B, variables=["name", "surname"], methods=meth, true_matches=true)
+    m = res.M_est.orderBy("a").toPandas()
+    assert list(m["a"]) == [1, 2, 3, 4]
+    assert list(m["b"]) == [1, 2, 3, 4]
+    assert list(res.hm_params["theta"]) == pytest.approx([1.0, 1.0], abs=1e-12)
+    assert list(res.hm_params["eta"]) == pytest.approx(
+        [0.04616298284003408, 0.03847198038861038], rel=0.05
+    )
+    # ratio within a few % of the R golden 573.098
+    assert m["ratio"].iloc[0] == pytest.approx(573.0984617692614, rel=0.05)
+    assert res.eval_metrics == {"FLR": 0.0, "MMR": 0.5}
