@@ -297,7 +297,9 @@ FROM documents
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pairs by word-set Jaccard ≥ 0.5 within the same lang
     (exact pairwise — the LSH variant is the scale path)."""
-    docs = _t(spark, sf_dir, "documents").select(
+    from automatedreclin_spark.operators.util import ensure_parallelism
+
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents")).select(
         "doc_id", "lang", F.array_distinct(F.split(F.col("text"), " ")).alias("toks")
     )
     left = docs.select(

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 from automatedreclin_spark.operators.blocking import MERSENNE_61, token_hash_expr
+from automatedreclin_spark.operators.util import ensure_parallelism
 
 #: 16 fixed universal-hash permutations (a, b) for minhash signatures.
 MINHASH_PERMS_16 = [
@@ -77,8 +78,11 @@ def minhash_signature(df: DataFrame, id_col: str, text_col: str,
     assert n_hashes <= len(MINHASH_PERMS_16)
     sh = shingles_expr(text_col, k=shingle_k) if shingle_k > 1 else _tokens(text_col)
     # Stage the md5-derived hash array once — without staging, each of the
-    # n_hashes array_min(transform(...)) re-evaluates every md5.
-    staged = df.select(F.col(id_col).alias("id"), sh.alias("_sh")).withColumn(
+    # n_hashes array_min(transform(...)) re-evaluates every md5 — and spread
+    # the CPU-heavy hashing across the cluster.
+    staged = ensure_parallelism(
+        df.select(F.col(id_col).alias("id"), sh.alias("_sh"))
+    ).withColumn(
         "_hashed", F.transform("_sh", lambda tok: token_hash_expr(tok))
     )
     cols = {}
@@ -133,7 +137,7 @@ def jaccard_verify(pairs: DataFrame, df: DataFrame, id_col: str, text_col: str,
     """Verify candidate pairs with the true token-set Jaccard; keeps pairs
     ≥ threshold. Two hash joins + a narrow array intersection."""
     sh = shingles_expr(text_col, k=shingle_k) if shingle_k > 1 else _tokens(text_col)
-    toks = df.select(F.col(id_col).alias("id"), sh.alias("toks"))
+    toks = ensure_parallelism(df.select(F.col(id_col).alias("id"), sh.alias("toks")))
     joined = (
         pairs.join(toks.withColumnsRenamed({"id": "id_a", "toks": "toks_a"}), "id_a")
         .join(toks.withColumnsRenamed({"id": "id_b", "toks": "toks_b"}), "id_b")
@@ -208,7 +212,8 @@ def simhash_dedup(df: DataFrame, id_col: str, text_col: str,
         raise ValueError("max_hamming must be in [0, 31].")
     n_tables = max_hamming + 1
     slice_bits = 64 // n_tables
-    sh = df.select(F.col(id_col).alias("id"), simhash_udf()(F.col(text_col)).alias("simhash"))
+    sh = ensure_parallelism(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))) \
+        .select("id", simhash_udf()(F.col("_t")).alias("simhash"))
     slices = [
         F.struct(F.lit(t).alias("t"),
                  (F.shiftright("simhash", t * slice_bits) % (1 << slice_bits)).alias("s"))

@@ -23,6 +23,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.window import Window
 
+from automatedreclin_spark.operators.util import ensure_parallelism
+
 
 def _as_double(col):
     return F.transform(col, lambda x: x.cast("double"))
@@ -43,9 +45,9 @@ def brute_force_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
     )
-    c = corpus.select(
+    c = ensure_parallelism(corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
-    )
+    ))
     scored = F.broadcast(q).crossJoin(c).select(
         "query_id", "neighbor_id", cosine_expr(F.col("qv"), F.col("cv")).alias("cosine")
     )

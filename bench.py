@@ -31,10 +31,12 @@ BENCH_QUERIES = [
     "cv_levenshtein",       # native levenshtein gamma
     "cv_jaro",              # Arrow pandas-UDF gamma
     "mec_binary_customer",  # full iterative MEC fit + 1:1 selection
+    "blocked_mec_customer", # inverted blocked MEC (the scale path)
     "dedup_exact",
     "text_token_stats",
     "ngram_jaccard_pairs",
-    "minhash_signatures",
+    "minhash_lsh_dedup",    # signature -> banding -> verify
+    "simhash_dedup",
     "ann_cosine_topk",
 ]
 
