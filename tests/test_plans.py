@@ -32,9 +32,14 @@ def test_cv_binary_scan_pruning(spark):
 
 
 def test_cv_binary_whole_stage_codegen(spark):
+    import contextlib
+    import io
+
     df = QUERIES["cv_binary"](spark, SF)
-    df.count()  # AQE only materializes codegen stages in the FINAL plan
-    assert "WholeStageCodegen" in _plan(df)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="codegen")
+    assert "WholeStageCodegen" in buf.getvalue()
 
 
 def test_token_stats_stays_jvm_side(spark):
