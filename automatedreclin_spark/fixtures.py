@@ -154,3 +154,62 @@ def synth_files(
         spark.createDataFrame(b_pdf),
         spark.createDataFrame(labels_pdf),
     )
+
+
+_FIRST = ("anna maria jan piotr kasia tomek ola marek ewa adam zofia pawel "
+          "magda krzys basia jurek celina bartek iza rafal").split()
+_LAST = ("nowak kowalski wisniewski wojcik kowalczyk kaminski lewandowski "
+         "zielinski szymanski wozniak dabrowski kozlowski jankowski mazur "
+         "kwiatkowski krawczyk piotrowski grabowski nowakowski pawlowski").split()
+
+
+def synth_census_cis(
+    spark: SparkSession,
+    n_a: int = 2500,
+    n_b: int = 2400,
+    overlap: float = 0.6,
+    typo_rate: float = 0.3,
+    seed: int = 42,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """F5 — census/CIS-shaped person fixture (reference data shape,
+    R/data.R:39-115): key variables pername1/pername2 (strings, JW),
+    sex/dob_day/dob_mon/dob_year (binary), blocking field enumcap.
+    Returns (census, cis, true_matches) with stable ids a/b."""
+    rng = np.random.default_rng(seed)
+
+    def person(i: int) -> dict:
+        return {
+            "person_id": f"P{i:06d}",
+            "pername1": str(rng.choice(_FIRST)),
+            "pername2": str(rng.choice(_LAST)),
+            "sex": str(rng.choice(["m", "f"])),
+            "dob_day": int(rng.integers(1, 29)),
+            "dob_mon": int(rng.integers(1, 13)),
+            "dob_year": int(rng.integers(1930, 2010)),
+            "enumcap": int(rng.integers(0, 40)),
+        }
+
+    base = [person(i) for i in range(n_a)]
+    a_pdf = pd.DataFrame(base)
+    a_pdf.insert(0, "a", range(1, n_a + 1))
+
+    n_overlap = int(n_b * overlap)
+    b_rows = []
+    labels = []
+    for j in range(n_overlap):
+        src = dict(base[j])
+        if rng.random() < typo_rate:
+            which = str(rng.choice(["pername1", "pername2"]))
+            src[which] = _typo(rng, src[which])
+        b_rows.append(src)
+        labels.append((j + 1, len(b_rows)))
+    while len(b_rows) < n_b:
+        b_rows.append(person(1_000_000 + len(b_rows)))
+    b_pdf = pd.DataFrame(b_rows)
+    b_pdf.insert(0, "b", range(1, n_b + 1))
+
+    return (
+        spark.createDataFrame(a_pdf),
+        spark.createDataFrame(b_pdf),
+        spark.createDataFrame(pd.DataFrame(labels, columns=["a", "b"])),
+    )
