@@ -28,11 +28,34 @@ class ComparisonVectors:
     omega: DataFrame
     variables: list[str]
     comparators: dict[str, Comparator]
-    n_A: int
-    n_B: int
-    n: int
     match_prop: float | None = None
     gamma_cols: list[str] = field(default_factory=list)
+    _A: DataFrame | None = None
+    _B: DataFrame | None = None
+    _n_A: int | None = None
+    _n_B: int | None = None
+    _n: int | None = None
+
+    # Counts are LAZY: n_A/n_B/n each cost a Spark job; scoring-only callers
+    # (the registry cv_* queries) never pay them, while the model fits that
+    # need them (g_est denominators, caps) compute them once on first access.
+    @property
+    def n_A(self) -> int:
+        if self._n_A is None:
+            self._n_A = self._A.count()
+        return self._n_A
+
+    @property
+    def n_B(self) -> int:
+        if self._n_B is None:
+            self._n_B = self._B.count()
+        return self._n_B
+
+    @property
+    def n(self) -> int:
+        if self._n is None:
+            self._n = self.omega.count()
+        return self._n
 
 
 def gamma_name(variable: str) -> str:
@@ -78,9 +101,6 @@ def comparison_vectors(
         comparators.setdefault(v, cmp_identical())
     comparators = {v: comparators[v] for v in variables}
 
-    n_A = A.count()
-    n_B = B.count()
-
     if pairs is None:
         pair_df = cross_pairs(A, B, a_col=a_col, b_col=b_col)
     else:
@@ -117,24 +137,23 @@ def comparison_vectors(
     if check_finite:
         _assert_finite_gammas(omega, variables, gamma_cols)
 
-    n = omega.count()
-
-    match_prop = None
-    if matches is not None:
-        omega = label_pairs(omega, matches)
-        n_matches = matches.count()
-        match_prop = n_matches / n * max(n_A, n_B) if n else None
-
-    return ComparisonVectors(
+    result = ComparisonVectors(
         omega=omega,
         variables=list(variables),
         comparators=comparators,
-        n_A=n_A,
-        n_B=n_B,
-        n=n,
-        match_prop=match_prop,
         gamma_cols=gamma_cols,
+        _A=A,
+        _B=B,
     )
+
+    if matches is not None:
+        result.omega = label_pairs(omega, matches)
+        n_matches = matches.count()
+        result.match_prop = (
+            n_matches / result.n * max(result.n_A, result.n_B) if result.n else None
+        )
+
+    return result
 
 
 def _assert_finite_gammas(omega: DataFrame, variables: list[str], gamma_cols: list[str]) -> None:

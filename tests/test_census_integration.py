@@ -52,3 +52,15 @@ def test_duplicates_in_A_mode(spark):
     res = mec(A, B, variables=["name", "city"], duplicates_in_A=True)
     m = res.M_est.toPandas()
     assert m["a"].is_unique  # a-side one-to-one still enforced
+
+
+def test_summaries_render(spark):
+    """methods.R print-surface analogue: summaries render without touching
+    more than a bounded preview."""
+    from automatedreclin_spark.summaries import summarize_mec
+
+    A, B, true = name_examples(spark)
+    res = mec(A, B, variables=["name", "surname"], true_matches=true)
+    s = summarize_mec(res)
+    assert "estimated matches" in s and "720" in s
+    assert "Evaluation metrics" in s
