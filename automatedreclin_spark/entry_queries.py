@@ -677,3 +677,27 @@ QUERIES.update({
 ORACLES.update({
     "dedup_clusters": _dedup_clusters_oracle(),
 })
+
+
+def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact baseline, oracle-checked; the
+    LSH variant is validated against this in tests)."""
+    from automatedreclin_spark.ops.dedup import embedding_cosine_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_cosine_dedup(emb, "vec_id", "embedding",
+                                  threshold=0.35, exact=True)
+
+
+ORACLE_EMBEDDING_DEDUP = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+       ROUND(list_dot_product(x.v, y.v)
+             / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))), 6) AS cosine
+FROM e x JOIN e y ON x.vec_id < y.vec_id
+WHERE list_dot_product(x.v, y.v)
+      / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) >= 0.35
+"""
+
+QUERIES["embedding_dedup"] = q_embedding_dedup
+ORACLES["embedding_dedup"] = ORACLE_EMBEDDING_DEDUP

@@ -235,3 +235,58 @@ def simhash_dedup(df: DataFrame, id_col: str, text_col: str,
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def embedding_cosine_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    n_bits: int = 12,
+    n_tables: int = 4,
+    exact: bool = False,
+    dim: int | None = None,
+) -> DataFrame:
+    """Embedding-space near-duplicate pairs: cosine ≥ threshold.
+
+    ``exact=True`` scores all id_a < id_b pairs (the O(n²) baseline, oracle-
+    checkable); the default routes through random-hyperplane LSH buckets
+    (ops/similarity.py) and rescores only bucket mates — the scale path."""
+    from automatedreclin_spark.ops.similarity import (
+        _as_double,
+        _hyperplanes,
+        _signature_udf,
+        cosine_expr,
+    )
+
+    vecs = ensure_parallelism(df.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
+    ))
+    if exact:
+        left = vecs.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+        right = vecs.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+        pairs = left.join(right, F.col("id_a") < F.col("id_b"))
+    else:
+        if dim is None:
+            dim = len(df.select(vec_col).first()[0])
+        sigged = vecs
+        for t in range(n_tables):
+            planes = _hyperplanes(dim, n_bits, seed=7 + t)
+            sigged = sigged.withColumn(f"sig_{t}", _signature_udf(planes)(F.col("v")))
+        cands = None
+        for t in range(n_tables):
+            lt = sigged.select(F.col(f"sig_{t}").alias("sig"), F.col("id").alias("id_a"))
+            rt = sigged.select(F.col(f"sig_{t}").alias("sig"), F.col("id").alias("id_b"))
+            p = lt.join(rt, "sig").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
+            cands = p if cands is None else cands.unionByName(p)
+        base = vecs
+        pairs = (
+            cands.distinct()
+            .join(base.withColumnsRenamed({"id": "id_a", "v": "va"}), "id_a")
+            .join(base.withColumnsRenamed({"id": "id_b", "v": "vb"}), "id_b")
+        )
+    return (
+        pairs.withColumn("cosine", F.round(cosine_expr(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

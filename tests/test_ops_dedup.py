@@ -102,3 +102,31 @@ def test_minhash_lsh_recall_vs_exact(spark):
     recall = len(exact & lsh) / len(exact)
     assert recall >= 0.95, f"LSH recall {recall} ({len(exact)} true pairs)"
     assert lsh <= exact | lsh  # verification keeps precision exact ≥ threshold
+
+
+def test_embedding_cosine_dedup_lsh_vs_exact(spark):
+    """LSH-bucketed embedding dedup must recover the exact pairs at a high
+    threshold (planted near-duplicate vectors)."""
+    import numpy as np
+    from automatedreclin_spark.ops.dedup import embedding_cosine_dedup
+
+    rng = np.random.default_rng(13)
+    dim = 32
+    base = rng.standard_normal((60, dim))
+    rows = [{"vec_id": i, "embedding": base[i].tolist()} for i in range(60)]
+    # plant 10 near-duplicates (2% noise)
+    for j in range(10):
+        rows.append({"vec_id": 100 + j,
+                     "embedding": (base[j] + 0.02 * rng.standard_normal(dim)).tolist()})
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    exact = {(r.id_a, r.id_b)
+             for r in embedding_cosine_dedup(df, "vec_id", "embedding",
+                                             threshold=0.95, exact=True).collect()}
+    approx = {(r.id_a, r.id_b)
+              for r in embedding_cosine_dedup(df, "vec_id", "embedding",
+                                              threshold=0.95, n_tables=8,
+                                              n_bits=10, dim=dim).collect()}
+    planted = {(j, 100 + j) for j in range(10)}
+    assert planted <= exact
+    assert len(exact & approx) / len(exact) >= 0.9
+    assert approx <= exact  # rescoring keeps precision exact
