@@ -53,11 +53,17 @@ LANGS = ["python", "java", "c", "js", "go", "rust", "ruby"]
 #: skew: python dominates (exercises salting / AQE skew-join).
 LANG_WEIGHTS = [0.45, 0.15, 0.10, 0.10, 0.08, 0.07, 0.05]
 
-_WORDS = (
+_STEMS = (
     "loader parser index worker stream buffer config handler router model "
     "cache util client server schema token batch merge split filter reduce "
     "map join sort scan hash block probe queue task pool shard state"
 ).split()
+
+#: Realistic identifier vocabulary: ~3k distinct tokens so UNRELATED files
+#: share few tokens (low Jaccard) while edited copies stay close — with a
+#: 32-word vocab every pair of random documents was near-identical and the
+#: content comparison carried no signal (surfaced by the 2000×4000 soak test).
+_WORDS = [f"{s}_{i}" for s in _STEMS for i in range(96)]
 
 
 def _mk_content(rng: np.random.Generator, n_tokens: int) -> str:

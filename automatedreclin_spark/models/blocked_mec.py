@@ -153,11 +153,19 @@ def blocked_mec(
     b_col: str = "b",
     seed: int = 1,
     checkpoint_dir: str | None = None,
+    pairs: DataFrame | None = None,
     verbose: bool = False,
 ) -> BlockedMecResult:
-    """Inverted blocked MEC. ``A`` / ``B`` carry stable ids AND a disjoint
-    ``block_col`` (each record in at most one block — see
-    operators/blocking.py for key derivation and the disjointness check).
+    """Inverted blocked MEC.
+
+    Two candidate-space modes:
+    - default (reference semantics, internals.R:718-737): ``A``/``B`` carry a
+      disjoint ``block_col``; Ω = full within-block cross products.
+    - ``pairs`` given (block, a, b): Ω = EXACTLY those candidate pairs — the
+      scale path when blocks are connected components of a candidate graph,
+      where full products inside a giant component would be quadratic.
+      Records must still belong to at most one block. Block sizes (n_a, n_b)
+      and ν = Σ min(n_a, n_b) come from the pairs' distinct ids per block.
 
     Allowed methods: binary / continuous_parametric only (reference restricts
     the blocked path, unsupervised_learning.R:1002-1006).
@@ -172,20 +180,35 @@ def blocked_mec(
             f"(offending: {bad})."
         )
 
-    # Candidate pairs: within-block products (disjoint keys → no dedup needed),
-    # deterministic (block, a, b) ordering happens only at output.
-    summary = block_summary(
-        A.select(F.col(block_col).alias("block"), F.col(a_col).alias("a")),
-        B.select(F.col(block_col).alias("block"), F.col(b_col).alias("b")),
-    )
-    pairs = block_pairs(A, B, block_col=block_col, a_col=a_col, b_col=b_col, dedup=False)
+    if pairs is None:
+        # Candidate pairs: within-block products (disjoint keys → no dedup),
+        # deterministic (block, a, b) ordering happens only at output.
+        summary = block_summary(
+            A.select(F.col(block_col).alias("block"), F.col(a_col).alias("a")),
+            B.select(F.col(block_col).alias("block"), F.col(b_col).alias("b")),
+        )
+        nu = summary.nu
+        pair_df = block_pairs(A, B, block_col=block_col, a_col=a_col, b_col=b_col,
+                              dedup=False)
+        summary_df = summary.summary
+    else:
+        pair_df = pairs.select(F.col(block_col).alias("block"), "a", "b")
+        summary_df = pair_df.groupBy("block").agg(
+            F.count_distinct("a").alias("n_a"),
+            F.count_distinct("b").alias("n_b"),
+            F.count(F.lit(1)).alias("pair_count"),
+        ).withColumn(
+            "nonmatches_min", F.col("pair_count") - F.least("n_a", "n_b")
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        nu = int(
+            summary_df.agg(F.sum(F.least("n_a", "n_b"))).collect()[0][0] or 0
+        )
     cv = comparison_vectors(
-        A, B, variables, comparators=comparators, pairs=pairs,
+        A, B, variables, comparators=comparators, pairs=pair_df,
         a_col=a_col, b_col=b_col,
     )
     omega = cv.omega
     N = cv.n
-    nu = summary.nu
     n_U_min = N - nu
 
     b_vars = [v for v in variables if methods[v] == "binary"]
@@ -409,7 +432,7 @@ def blocked_mec(
     n_U_selected = N - n_M_count
 
     block_estimates = (
-        summary.summary.join(
+        summary_df.join(
             M_est.groupBy("block").agg(F.count(F.lit(1)).alias("n_M_est")),
             "block", "left",
         )
@@ -430,7 +453,7 @@ def blocked_mec(
 
     blocking_eval = eval_metrics = confusion = None
     if true_matches is not None:
-        preserved = true_matches.join(pairs.select("a", "b"), ["a", "b"], "left_semi").count()
+        preserved = true_matches.join(pair_df.select("a", "b"), ["a", "b"], "left_semi").count()
         n_true = true_matches.count()
         blocking_eval = {
             "true_matches_preserved": preserved,

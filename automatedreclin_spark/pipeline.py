@@ -126,18 +126,18 @@ def link_repo_files(
     a_blocks = comp.filter(F.col("id") % 2 == 0).select(
         (F.col("id") / 2).cast("long").alias("a"), F.col("component").alias("block")
     )
-    b_blocks = comp.filter(F.col("id") % 2 == 1).select(
-        ((F.col("id") - 1) / 2).cast("long").alias("b"), F.col("component").alias("block")
-    )
-    A_blocked = A.join(a_blocks, "a")       # records in no candidate pair drop out
-    B_blocked = B.join(b_blocks, "b")
+    # Label every candidate pair with its component: the component is the
+    # DISJOINT selection block, but Ω stays the candidate pairs themselves —
+    # a giant component (e.g. one per lang when probe buckets chain) must NOT
+    # expand into its full cross product.
+    labeled_pairs = pairs.join(a_blocks, "a").select("block", "a", "b")
 
     # Stage 40: blocked inverted MEC. Iteration-level snapshots go under the
     # same checkpoint root; a committed stage skips the whole fit on resume.
     fit = None
     if not (resume and ck.is_committed("40_linkage")):
         fit = blocked_mec(
-            A_blocked, B_blocked,
+            A, B,
             variables=["content_sha", "path", "content"],
             comparators={
                 "content_sha": cmp_identical(),
@@ -149,7 +149,7 @@ def link_repo_files(
                 "path": "continuous_parametric",
                 "content": "continuous_parametric",
             },
-            block_col="block",
+            pairs=labeled_pairs,
             seed=seed,
             checkpoint_dir=f"{checkpoint_dir}/40_linkage_iters",
         )

@@ -193,3 +193,28 @@ def test_evaluation_diagnostics_helpers(spark):
     md = mec_selection_diagnostics(sel, true, cand)
     assert md["candidate_recall"] == pytest.approx(1 / 2)
     assert md["candidate_flr"] == pytest.approx(1 / 2)
+
+
+def test_pairs_mode_restricts_omega(spark):
+    """pairs mode (the giant-component scale path): Ω is exactly the given
+    candidate pairs, never the within-block cross product; nu derives from
+    the pairs' distinct ids."""
+    A = spark.createDataFrame(pd.DataFrame({
+        "a": range(1, 5), "name": [f"n{i}" for i in range(1, 5)],
+    }))
+    B = spark.createDataFrame(pd.DataFrame({
+        "b": range(1, 5), "name": [f"n{i}" for i in range(1, 5)],
+    }))
+    # one giant block, but only 6 of the 16 cross pairs are candidates
+    cand = spark.createDataFrame(pd.DataFrame({
+        "block": [1] * 6,
+        "a": [1, 1, 2, 2, 3, 4],
+        "b": [1, 2, 2, 3, 3, 4],
+    }))
+    res = blocked_mec(A, B, ["name"], pairs=cand)
+    assert res.candidate_pair_count == 6          # NOT 16
+    assert res.nu == 4                            # min(4 distinct a, 4 distinct b)
+    m = res.M_est.orderBy("a").toPandas()
+    # exact-name pairs are (i, i); one-to-one selection over candidates
+    assert {(r.a, r.b) for r in m.itertuples()} == {(1, 1), (2, 2), (3, 3), (4, 4)}
+    _contract(res)
