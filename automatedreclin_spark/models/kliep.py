@@ -183,3 +183,95 @@ def collect_positive_gammas(
     if n > cap:
         base = base.sample(fraction=min(1.0, 1.2 * cap / n), seed=seed).limit(cap)
     return base.toPandas()[gamma_col].to_numpy(dtype=np.float64)
+
+
+@dataclass
+class KliepModelMulti:
+    centers: np.ndarray   # (L, K)
+    alpha: np.ndarray     # (L,)
+    sigma: float
+
+    def predict(self, x: np.ndarray) -> np.ndarray:
+        d2 = ((x[:, None, :] - self.centers[None, :, :]) ** 2).sum(-1)
+        return np.exp(-d2 / (2 * self.sigma**2)) @ self.alpha
+
+
+def fit_kliep_multi(
+    x_numerator: np.ndarray,
+    x_denominator: np.ndarray,
+    n_centers: int = 100,
+    sigmas: list[float] | None = None,
+    n_folds: int = 5,
+    seed: int = 1,
+) -> KliepModelMulti:
+    """Multivariate KLIEP (the reference's ``nonpar_hurdle = FALSE`` path:
+    densityratio::kliep on the FULL K-dim comparison vectors,
+    unsupervised_learning.R:632-641). Same objective as the univariate fit
+    with K-dim Gaussian kernels; centers = deterministic numerator subsample.
+    """
+    x_num = np.atleast_2d(np.asarray(x_numerator, dtype=np.float64))
+    x_den = np.atleast_2d(np.asarray(x_denominator, dtype=np.float64))
+    if x_num.shape[0] < 2 or x_den.shape[0] < 2:
+        raise ValueError("KLIEP needs at least two samples per side.")
+
+    L = min(n_centers, x_num.shape[0])
+    step = max(1, x_num.shape[0] // L)
+    centers = x_num[::step][:L]
+
+    if sigmas is None:
+        both = np.vstack([x_num, x_den])
+        rng = np.random.default_rng(seed)
+        idx = rng.choice(len(both), size=min(200, len(both)), replace=False)
+        d = np.sqrt(((both[idx, None, :] - both[None, idx, :]) ** 2).sum(-1))
+        med = float(np.median(d[d > 0])) if (d > 0).any() else 1.0
+        sigmas = [med * f for f in (0.25, 0.5, 1.0, 2.0)]
+
+    def kernel(x: np.ndarray, sigma: float) -> np.ndarray:
+        d2 = ((x[:, None, :] - centers[None, :, :]) ** 2).sum(-1)
+        return np.exp(-d2 / (2 * sigma**2))
+
+    rng = np.random.default_rng(seed)
+    folds = rng.integers(0, n_folds, size=x_num.shape[0])
+    best_sigma, best_score = sigmas[0], -np.inf
+    for sigma in sigmas:
+        b = kernel(x_den, sigma).mean(axis=0)
+        if not np.all(np.isfinite(b)) or b.sum() <= 0:
+            continue
+        score, ok = 0.0, True
+        for f in range(n_folds):
+            tr, te = x_num[folds != f], x_num[folds == f]
+            if len(tr) < 1 or len(te) < 1:
+                continue
+            alpha = _fit_alpha(kernel(tr, sigma), b)
+            r = kernel(te, sigma) @ alpha
+            if np.any(r <= 0):
+                ok = False
+                break
+            score += np.log(r).mean()
+        if ok and score > best_score:
+            best_score, best_sigma = score, sigma
+
+    alpha = _fit_alpha(kernel(x_num, best_sigma), kernel(x_den, best_sigma).mean(axis=0))
+    return KliepModelMulti(centers=centers, alpha=alpha, sigma=best_sigma)
+
+
+def kliep_multi_udf(model: KliepModelMulti, gamma_cols: list[str]) -> Column:
+    """Vectorized multivariate ratio scorer over the K gamma columns."""
+    centers, alpha, sigma = model.centers, model.alpha, model.sigma
+
+    @pandas_udf("double")
+    def _score(*cols: pd.Series) -> pd.Series:
+        x = np.column_stack([c.to_numpy(dtype=np.float64) for c in cols])
+        d2 = ((x[:, None, :] - centers[None, :, :]) ** 2).sum(-1)
+        return pd.Series(np.exp(-d2 / (2 * sigma**2)) @ alpha)
+
+    return _score(*[F.col(g) for g in gamma_cols])
+
+
+def collect_gamma_matrix(df, gamma_cols: list[str], cap: int = 20_000, seed: int = 1) -> np.ndarray:
+    """Collect the full K-dim gamma rows to the driver (capped sample)."""
+    base = df.select(*gamma_cols)
+    n = base.count()
+    if n > cap:
+        base = base.sample(fraction=min(1.0, 1.2 * cap / n), seed=seed).limit(cap)
+    return base.toPandas().to_numpy(dtype=np.float64)

@@ -98,6 +98,7 @@ def mec(
     delta: float = 0.5,
     eps: float = 0.05,
     max_iter: int = 1000,
+    nonpar_hurdle: bool = True,
     true_matches: DataFrame | None = None,
     pairs: DataFrame | None = None,
     block_col: str | None = None,
@@ -227,9 +228,7 @@ def mec(
     np_p0_M: list[float] = []
     np_p0_U: list[float] = []
     kliep_models: dict[str, object] = {}
-    if cnonpar_gammas:
-        from automatedreclin_spark.models.kliep import kliep_hurdle_ratio_expr
-
+    if cnonpar_gammas and nonpar_hurdle:
         np_p0_M = list(start_params["continuous_nonparametric"]["p_0_M"])
         np_p0_U = [float(init_row[f"np_p0U_{g}"]) for g in cnonpar_gammas]
         terms = []
@@ -244,6 +243,13 @@ def mec(
             )
         from functools import reduce as _reduce
         cnonpar_expr = _reduce(lambda x, y: x * y, terms)
+    elif cnonpar_gammas:
+        # nonpar_hurdle=False init: multiply the current ratio by random
+        # factors — U(5,10) on exact-agreement seeds, U(0.1,5) elsewhere
+        # (unsupervised_learning.R:458-470), hash-derived per row.
+        u = (F.pmod(F.xxhash64(F.col("a"), F.col("b"), F.lit(seed)),
+                    F.lit(1_000_000)) / 1_000_000.0)
+        cnonpar_expr = F.when(F.col("_is_seed"), 5.0 + 5.0 * u).otherwise(0.1 + 4.9 * u)
 
     def ratio_expr(th_b, p0m, am, bm, np_expr, th_hm, et_hm):
         expr = F.lit(1.0)
@@ -333,7 +339,27 @@ def mec(
             p_0_M, alpha_M, beta_M = fam.cpar_params_from_row(
                 m_row, cpar_gammas, "M", fallback_beta=cpar_old[2]
             )
-        if cnonpar_gammas:
+        if cnonpar_gammas and not nonpar_hurdle:
+            # Multivariate KLIEP on the full gamma vectors
+            # (unsupervised_learning.R:632-641).
+            import warnings
+
+            from automatedreclin_spark.models.kliep import (
+                collect_gamma_matrix,
+                fit_kliep_multi,
+                kliep_multi_udf,
+            )
+
+            U_df = scored.join(M_selected.select("a", "b"), ["a", "b"], "left_anti")
+            x_num = collect_gamma_matrix(M_selected, cnonpar_gammas, seed=seed)
+            x_den = collect_gamma_matrix(U_df, cnonpar_gammas, seed=seed)
+            try:
+                model = fit_kliep_multi(x_num, x_den, seed=seed)
+                cnonpar_expr = kliep_multi_udf(model, cnonpar_gammas)
+                kliep_models = {"__multi__": model}
+            except Exception as e:  # noqa: BLE001
+                warnings.warn(f"KLIEP issue in mec(): {e}; using the previous ratio estimate.")
+        elif cnonpar_gammas:
             # Refit hurdle masses + per-variable KLIEP on M vs U positives
             # (unsupervised_learning.R:588-627). On failure keep the previous
             # cnonpar ratio term (warning semantics of warn_kliep_once).
@@ -450,7 +476,8 @@ def mec(
             p_0_U=p_0_U, alpha_U=alpha_U, beta_U=beta_U,
         ),
         cnonpar_params=_param_table(
-            cnonpar_gammas, p_0_M_cnonpar=np_p0_M, p_0_U_cnonpar=np_p0_U,
+            cnonpar_gammas if nonpar_hurdle else [],
+            p_0_M_cnonpar=np_p0_M, p_0_U_cnonpar=np_p0_U,
         ),
         hm_params=_param_table(hm_gammas, theta=theta_hm, eta=eta_hm),
         kliep_models=kliep_models or None,

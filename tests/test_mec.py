@@ -120,3 +120,19 @@ def test_hit_miss_mec_decision_parity(data):
     # ratio within a few % of the R golden 573.098
     assert m["ratio"].iloc[0] == pytest.approx(573.0984617692614, rel=0.05)
     assert res.eval_metrics == {"FLR": 0.0, "MMR": 0.5}
+
+
+def test_cnonpar_without_hurdle(data):
+    """nonpar_hurdle=False: multivariate KLIEP on the full gamma vectors
+    (unsupervised_learning.R:632-641). Less discriminating than the hurdle
+    default at tiny scale — assert full recall of the true matches."""
+    A, B, true = data
+    comp = {"name": jarowinkler_complement(), "surname": jarowinkler_complement()}
+    meth = {"name": "continuous_nonparametric", "surname": "continuous_nonparametric"}
+    res = mec(A, B, variables=["name", "surname"], comparators=comp,
+              methods=meth, nonpar_hurdle=False, true_matches=true)
+    m = res.M_est.toPandas()
+    got = {(r.a, r.b) for r in m.itertuples()}
+    assert {(i, i) for i in range(1, 9)} <= got
+    assert res.eval_metrics["MMR"] == 0.0
+    assert m["a"].is_unique and m["b"].is_unique
