@@ -64,6 +64,10 @@ def get_spark(
         # vectorized comparison-vector stage.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # Spark 4.1's ChecksumCheckpointFileManager deadlocks committing many
+        # state-store partitions concurrently on local FS (stateful streaming
+        # ops hang); checksums are redundant for the local-FS sandbox anyway.
+        .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
         # Keep the UI off in the sandbox.
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))

@@ -97,3 +97,68 @@ def streaming_quality_stats(stream: DataFrame, text_col: str = "content",
             F.round("avg_chars", 6).alias("avg_chars"),
         )
     )
+
+
+def streaming_incremental_link(
+    stream: DataFrame,
+    reference_records: "pd.DataFrame",
+    key_col: str = "content",
+    id_col: str = "commit",
+    timeout_minutes: int = 60,
+):
+    """Custom stateful streaming operator (``applyInPandasWithState``):
+    incrementally link arriving records against a (small, driver-collected)
+    reference table with a ONE-TO-ONE constraint maintained in state.
+
+    Group key = lang; per-group state = the set of reference ids already
+    claimed by earlier micro-batches. An arriving record matches the first
+    unclaimed reference record with equal sha256(key_col); once claimed, a
+    reference id never matches again — the streaming analogue of the greedy
+    one-to-one sweep, with state bounded by the reference size.
+
+    NB: GroupStateTimeout.ProcessingTimeTimeout crashes the Python worker in
+    this Spark 4.1 dev build (EOF in PythonArrowOutput on the timeout path),
+    so the operator runs with NoTimeout; state stays bounded by |reference|.
+    """
+    import hashlib
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ref = reference_records.copy()
+    ref["_sha"] = ref[key_col].map(lambda s: hashlib.sha256(str(s).encode()).hexdigest())
+    ref_by_lang: dict[str, list[tuple[str, str]]] = {}
+    for lang, sha, rid in zip(ref["lang"], ref["_sha"], ref[id_col]):
+        ref_by_lang.setdefault(lang, []).append((sha, rid))
+
+    output_schema = "lang string, stream_commit string, ref_id string, content_sha string"
+    state_schema = "claimed array<string>"
+
+    def link(key, pdfs, state: GroupState):
+        (lang,) = key
+        claimed = set(state.get[0]) if state.exists else set()
+        candidates = ref_by_lang.get(lang, [])
+        out = []
+        for pdf in pdfs:
+            for row in pdf.itertuples():
+                sha = hashlib.sha256(str(getattr(row, key_col)).encode()).hexdigest()
+                for ref_sha, ref_id in candidates:
+                    if ref_sha == sha and ref_id not in claimed:
+                        claimed.add(ref_id)
+                        out.append({
+                            "lang": lang,
+                            "stream_commit": getattr(row, "commit"),
+                            "ref_id": ref_id,
+                            "content_sha": sha,
+                        })
+                        break
+        state.update((list(claimed),))
+        yield pd.DataFrame(out, columns=["lang", "stream_commit", "ref_id", "content_sha"])
+
+    return stream.groupBy("lang").applyInPandasWithState(
+        link,
+        outputStructType=output_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -120,3 +120,50 @@ def test_streaming_windowed_quality(spark, tmp_path):
         assert (out["n_tokens"] == out["n_docs"] * 3).all()
     finally:
         q.stop()
+
+
+def test_stateful_incremental_link(spark, tmp_path):
+    """applyInPandasWithState one-to-one linkage: a reference id is claimed
+    at most once across micro-batches."""
+    from automatedreclin_spark.streaming import streaming_incremental_link
+
+    landing = str(tmp_path / "landing")
+    ck = str(tmp_path / "ck")
+    t0 = datetime(2026, 1, 1)
+    ref = pd.DataFrame({
+        "lang": ["python", "python", "java"],
+        "content": ["ref one", "ref two", "ref three"],
+        "commit": ["r1", "r2", "r3"],
+    })
+    # batch 1: two stream records matching ref one (only first may claim r1)
+    rows = [
+        {"repo": "o/x", "path": "a.py", "commit": "s1", "lang": "python",
+         "content": "ref one", "event_time": t0},
+        {"repo": "o/x", "path": "b.py", "commit": "s2", "lang": "python",
+         "content": "ref one", "event_time": t0 + timedelta(seconds=1)},
+        {"repo": "o/x", "path": "c.py", "commit": "s3", "lang": "python",
+         "content": "ref two", "event_time": t0 + timedelta(seconds=2)},
+    ]
+    _write_batch(spark, landing, rows, 1)
+    stream = stream_files(spark, landing)
+    linked = streaming_incremental_link(stream, ref)
+    q = (
+        linked.writeStream.format("memory").queryName("link_sink")
+        .option("checkpointLocation", ck).outputMode("append").start()
+    )
+    try:
+        assert _run_until(q, lambda: spark.sql("select * from link_sink").count() >= 2)
+        out1 = spark.sql("select * from link_sink").toPandas()
+        assert set(out1["ref_id"]) == {"r1", "r2"}
+        assert len(out1) == 2  # r1 claimed once despite two matching records
+
+        # batch 2: another "ref one" record — r1 already claimed in STATE
+        _write_batch(spark, landing, [
+            {"repo": "o/x", "path": "d.py", "commit": "s4", "lang": "python",
+             "content": "ref one", "event_time": t0 + timedelta(seconds=9)},
+        ], 2)
+        q.processAllAvailable()
+        out2 = spark.sql("select * from link_sink").toPandas()
+        assert len(out2) == 2, "claimed ref ids must persist across micro-batches"
+    finally:
+        q.stop()
