@@ -111,7 +111,7 @@ def comparison_vectors(
     # Comparator work is CPU-bound per pair; an under-partitioned pair table
     # (e.g. produced inside one broadcast-join task) would serialize the whole
     # gamma stage. Round-robin the narrow id table across the cluster first.
-    target = pair_df.sparkSession.sparkContext.defaultParallelism
+    target = pair_df.sparkSession.sparkContext.defaultParallelism * 3
     if pair_df.rdd.getNumPartitions() < target:
         pair_df = pair_df.repartition(target)
 

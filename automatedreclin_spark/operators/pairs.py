@@ -48,7 +48,9 @@ def block_pairs(
     # spread the probe side first (hash on (block, a): co-location on block
     # is irrelevant under broadcast, and high-cardinality a evens the load).
     spark = A.sparkSession
-    target = spark.sparkContext.defaultParallelism
+    # 3x cores: finer tasks amortize stragglers in the CPU-bound scoring tail
+    # (a single slow partition otherwise idles the rest of the cluster).
+    target = spark.sparkContext.defaultParallelism * 3
     if a_side.rdd.getNumPartitions() < target:
         a_side = a_side.repartition(target, F.col("block"), F.col("a"))
     joined = a_side.join(b_side, "block")
