@@ -390,7 +390,10 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nq = F.sqrt(F.aggregate("qv", F.lit(0.0), lambda acc, x: acc + x * x))
     nc = F.sqrt(F.aggregate("cv", F.lit(0.0), lambda acc, x: acc + x * x))
-    scored = q.crossJoin(c).select(
+    # Explicit broadcast of the (tiny) query side: the corpus streams through
+    # a BroadcastNestedLoopJoin with no shuffle — the only plan that scales
+    # this brute-force baseline to a large corpus.
+    scored = F.broadcast(q).crossJoin(c).select(
         "query_id", "neighbor_id", F.round(dot / (nq * nc), 6).alias("cosine")
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -541,7 +544,9 @@ WHERE CAST(len(list_intersect(ta.t, tb.t)) AS DOUBLE)
 
 def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash Hamming-ball near-dup (ops/dedup.py). md5-bit majority vote in
-    a pandas UDF — rows-only check (per-value goldens in tests)."""
+    a pandas UDF; the pigeonhole band join is a complete Hamming-8 cover, so
+    the oracle is the brute-force hamming filter over SQL-rebuilt signatures
+    (hash-checked)."""
     from automatedreclin_spark.ops.dedup import simhash_dedup
 
     docs = _t(spark, sf_dir, "documents")
@@ -550,7 +555,8 @@ def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints (ops/textstats.py) reduced to per-doc scalars
-    for cross-engine comparison."""
+    (count / min / max of the fingerprint set — order-insensitive), hash-
+    checked against a DuckDB rebuild of the same md5 k-gram arithmetic."""
     from automatedreclin_spark.ops.textstats import fingerprint
 
     docs = _t(spark, sf_dir, "documents")
@@ -564,8 +570,9 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heuristic language ID (ops/textstats.py); rows-only (heuristic —
-    accuracy asserted against the lang column in tests)."""
+    """Heuristic language ID (ops/textstats.py) — deterministic marker
+    counting, mirrored exactly in the DuckDB oracle (hash-checked); accuracy
+    vs the lang column additionally asserted in tests."""
     from automatedreclin_spark.ops.textstats import language_id
 
     docs = _t(spark, sf_dir, "documents")
@@ -592,12 +599,119 @@ QUERIES.update({
     "ann_ivf_topk": q_ann_ivf_topk,
 })
 
+# SimHash is md5-derived and fully deterministic, so it IS SQL-expressible:
+# rebuild the 64-bit signature in DuckDB (two-part hex → HUGEINT assembly,
+# per-bit ±1 majority vote over distinct tokens), then — because the
+# pigeonhole band join is a COMPLETE cover of the Hamming-8 ball — the pair
+# set equals the brute-force hamming(sig_a, sig_b) ≤ 8 filter.
+_SIMHASH_SIG_SQL = """
+sig_raw AS (
+  SELECT doc_id,
+         SUM(bit::HUGEINT << j) AS s
+  FROM (
+    SELECT doc_id, j,
+           CASE WHEN SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) > 0
+                THEN 1 ELSE 0 END AS bit
+    FROM (
+      SELECT doc_id,
+             (('0x'||substr(md5(tok),1,8))::BIGINT::HUGEINT * 4294967296
+              + ('0x'||substr(md5(tok),9,8))::BIGINT) AS h
+      FROM (
+        SELECT doc_id,
+               unnest(list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+'))) AS tok
+        FROM documents WHERE length(trim(text)) > 0
+      )
+    ) hashed CROSS JOIN (SELECT unnest(range(64)) AS j) js
+    GROUP BY doc_id, j
+  ) bits
+  GROUP BY doc_id
+),
+sigs AS (
+  SELECT d.doc_id,
+         CAST(CASE WHEN s >= 9223372036854775808::HUGEINT
+                   THEN s - 18446744073709551616::HUGEINT
+                   ELSE COALESCE(s, 0) END AS BIGINT) AS simhash
+  FROM documents d LEFT JOIN sig_raw USING (doc_id)
+)
+"""
+
+ORACLE_SIMHASH_DEDUP = f"""
+WITH {_SIMHASH_SIG_SQL}
+SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+       bit_count(xor(x.simhash, y.simhash)) AS hamming
+FROM sigs x JOIN sigs y ON x.doc_id < y.doc_id
+WHERE bit_count(xor(x.simhash, y.simhash)) <= 8
+"""
+
+# Winnowing is pure md5 arithmetic over k-gram windows — reproducible in
+# DuckDB with list_transform/list_slice mirroring the staged Catalyst arrays.
+ORACLE_DOC_FINGERPRINTS = """
+WITH staged AS (
+  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS toks FROM documents
+), kg AS (
+  SELECT doc_id,
+    list_transform(range(0, greatest(len(toks)-5, 0)+1),
+      i -> ('0x'||substr(md5(array_to_string(list_slice(toks, i+1, i+5), ' ')),1,15))::BIGINT
+           % 2305843009213693951) AS kgh
+  FROM staged
+), mins AS (
+  SELECT doc_id,
+    list_distinct(list_transform(range(0, greatest(len(kgh)-4, 0)+1),
+      i -> list_min(list_slice(kgh, i+1, i+4)))) AS fps
+  FROM kg
+)
+SELECT doc_id AS id, len(fps) AS n_fingerprints,
+       list_min(fps) AS fp_min, list_max(fps) AS fp_max
+FROM mins
+"""
+
+
+def _language_id_oracle() -> str:
+    """The language-ID heuristic is deterministic marker counting — mirror it
+    in SQL, including Python's dict-order tie-break (en > de > fr > es) and
+    the CJK codepoint-share early exit."""
+    from automatedreclin_spark.ops.textstats import _LANG_MARKERS
+
+    marker_scores = ", ".join(
+        f"len(list_filter(toks, t -> list_contains({mk!r}, t)))::DOUBLE"
+        f" / greatest(len(toks), 1) AS s_{lang}"
+        for lang, mk in _LANG_MARKERS.items()
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id AS id, text,
+         length(regexp_replace(text, '[^一-鿿]', '', 'g')) AS cjk,
+         length(text) AS n,
+         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS toks
+  FROM documents
+), scored AS (
+  SELECT id, cjk, n, {marker_scores} FROM base
+)
+SELECT id,
+  CASE WHEN n = 0 THEN 'und'
+       WHEN cjk::DOUBLE / greatest(n, 1) > 0.2 THEN 'zh'
+       WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+       WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+       WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+       WHEN s_fr >= s_es THEN 'fr'
+       ELSE 'es' END AS lang_pred,
+  CASE WHEN n = 0 THEN 0.0
+       WHEN cjk::DOUBLE / greatest(n, 1) > 0.2 THEN ROUND(cjk::DOUBLE / n, 6)
+       ELSE ROUND(greatest(s_en, s_de, s_fr, s_es), 6) END AS lang_conf
+FROM scored
+"""
+
+
 ORACLES.update({
     "text_quality": ORACLE_TEXT_QUALITY,
     "minhash_lsh_dedup": _minhash_lsh_oracle(),
-    # simhash_dedup / doc_fingerprints / language_id / ann_ivf_topk:
-    # engine-specific or approximate -> rows-only checks; semantics pinned in
-    # tests/test_ops_*.py.
+    "simhash_dedup": ORACLE_SIMHASH_DEDUP,
+    "doc_fingerprints": ORACLE_DOC_FINGERPRINTS,
+    "language_id": _language_id_oracle(),
+    # ann_ivf_topk: approximate (driver-sampled IVF centroids) -> rows-only;
+    # recall vs brute force asserted in tests/test_ops_similarity.py and in
+    # the ann_ivf_recall invariant query below.
 })
 
 

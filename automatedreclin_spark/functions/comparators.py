@@ -33,7 +33,7 @@ class Comparator:
 
 
 class cmp_identical(Comparator):
-    """Binary disagreement: 0 if equal, 1 otherwise.
+    """Binary agreement: 1 if equal, 0 otherwise.
 
     Note the reference convention (via reclin2 ``cmp_identical``): gamma is an
     *agreement* indicator there (1 = equal). The reference's binary MEC treats
@@ -68,12 +68,12 @@ class jarowinkler_complement(Comparator):
     def __call__(self, left: Column, right: Column) -> Column:
         @pandas_udf("double")
         def _jw_complement(x: pd.Series, y: pd.Series) -> pd.Series:
-            sim = _str.jaro_similarity
-            out = [
-                None if (a is None or b is None) else 1.0 - sim(a, b)
-                for a, b in zip(x, y)
-            ]
-            return pd.Series(out, dtype="float64")
+            # Batch-vectorized numpy kernel (strings.jaro_similarity_batch):
+            # one numpy pass per s1 position over the whole Arrow batch — no
+            # per-row Python in the hot path. None → NaN → gamma guard.
+            sim = _str.jaro_similarity_batch(x.to_numpy(dtype=object),
+                                             y.to_numpy(dtype=object))
+            return pd.Series(1.0 - sim, dtype="float64")
 
         return _jw_complement(left, right)
 

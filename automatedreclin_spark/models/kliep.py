@@ -172,16 +172,31 @@ def kliep_hurdle_ratio_expr(
     return reduce(lambda x, y: x * y, terms)
 
 
+def _hash_capped(base, cap: int, seed: int):
+    """Partition-independent driver downsample: order by xxhash64 of the pair
+    id (a, b) and take the first ``cap`` rows. ``sample().limit()`` depends on
+    the physical partitioning (different rows at local[8] vs local[32]); an
+    orderBy-hash prefix is the same row set at any parallelism, and Spark
+    executes it as per-partition top-K (TakeOrderedAndProject), never a full
+    sort of the input."""
+    if "a" in base.columns and "b" in base.columns:
+        key = F.xxhash64(F.col("a"), F.col("b"), F.lit(seed))
+    else:  # no pair ids — hash every column (still partition-independent)
+        key = F.xxhash64(*[F.col(c) for c in base.columns], F.lit(seed))
+    return base.orderBy(key.asc(), *base.columns).limit(cap)
+
+
 def collect_positive_gammas(
     df, gamma_col: str, cap: int = 20_000, seed: int = 1
 ) -> np.ndarray:
     """Collect positive gammas to the driver, down-sampling past ``cap``
-    (deterministic seed). The match side is small by construction; the cap
-    guards the denominator side at scale."""
-    base = df.select(gamma_col).filter(F.col(gamma_col) > 0)
+    (hash-deterministic — same rows at any partitioning). The match side is
+    small by construction; the cap guards the denominator side at scale."""
+    cols = [c for c in ("a", "b") if c in df.columns] + [gamma_col]
+    base = df.select(*cols).filter(F.col(gamma_col) > 0)
     n = base.count()
     if n > cap:
-        base = base.sample(fraction=min(1.0, 1.2 * cap / n), seed=seed).limit(cap)
+        base = _hash_capped(base, cap, seed)
     return base.toPandas()[gamma_col].to_numpy(dtype=np.float64)
 
 
@@ -269,9 +284,11 @@ def kliep_multi_udf(model: KliepModelMulti, gamma_cols: list[str]) -> Column:
 
 
 def collect_gamma_matrix(df, gamma_cols: list[str], cap: int = 20_000, seed: int = 1) -> np.ndarray:
-    """Collect the full K-dim gamma rows to the driver (capped sample)."""
-    base = df.select(*gamma_cols)
+    """Collect the full K-dim gamma rows to the driver (hash-deterministic
+    capped sample — same rows at any partitioning)."""
+    id_cols = [c for c in ("a", "b") if c in df.columns]
+    base = df.select(*id_cols, *gamma_cols)
     n = base.count()
     if n > cap:
-        base = base.sample(fraction=min(1.0, 1.2 * cap / n), seed=seed).limit(cap)
-    return base.toPandas().to_numpy(dtype=np.float64)
+        base = _hash_capped(base, cap, seed)
+    return base.toPandas()[gamma_cols].to_numpy(dtype=np.float64)

@@ -286,11 +286,18 @@ def mec(
     n_iter = 0
     convergence_reason = None
     M_selected: DataFrame | None = None
+    M_prev: DataFrame | None = None
+    # Count feeding the ĝ column of the CURRENT iteration (i.e. the previous
+    # iteration's selection size) — the reference keeps exactly this ĝ for
+    # the final flr/mmr summary (unsupervised_learning.R:492-500), NOT a
+    # recompute with the post-selection count.
+    n_M_count_for_g = n_M_count
 
     while n_iter < max_iter:
         n_iter += 1
         # (a) posterior ĝ with n_M = |M_idx| from the previous selection,
         #     then n_M ← Σĝ capped at min(n_A, n_B).
+        n_M_count_for_g = n_M_count
         scored = scored.withColumn("g_est", fam.g_est_expr(n_M_count, n))
         n_M_old = n_M
         g_sum = scored.agg(F.sum("g_est")).collect()[0][0]
@@ -301,6 +308,12 @@ def mec(
             scored, n_M, duplicates_in_A=duplicates_in_A, block_col=block_col
         ).persist(StorageLevel.MEMORY_AND_DISK)
         n_M_count = M_selected.count()
+        # The previous selection is no longer referenced once the new one is
+        # materialized — drop its cached blocks so long fits (max_iter ≫ 10)
+        # don't accumulate one persisted DataFrame per iteration.
+        if M_prev is not None:
+            M_prev.unpersist()
+        M_prev = M_selected
         if n_M_count == 0:
             convergence_reason = "empty_selection"
             break
@@ -419,6 +432,11 @@ def mec(
             theta_hm_old = list(theta_hm)
             theta_hm = [float(m_row[f"hm_theta_{g}"]) for g in hm_gammas]
             p_est = n_M / max(n_A, n_B)
+            # One generator threaded through iterations (like R's global RNG
+            # stream): iteration k's EM init depends on draws consumed by
+            # iterations <k. Deterministic given `seed`; kept over per-
+            # iteration re-seeding because the loose-tol EM is init-dependent
+            # and this stream reproduces the R goldens (test_mec.R:55-63).
             u = hit_miss_em(hm_value_models, p_est, rng)
             eta_map = hit_miss_eta(hm_value_models, u, p_est, n_A)
             eta_hm = [float(eta_map[v]) for v in hm_vars]
@@ -433,8 +451,10 @@ def mec(
 
     n_M_est = n_M
     # Final scored Ω for set construction: ratio from the last parameter
-    # update, ĝ from the last loop top (reference keeps both as columns).
-    scored = scored.withColumn("g_est", fam.g_est_expr(n_M_count, n))
+    # update, ĝ exactly as computed at the top of the final iteration — from
+    # the PREVIOUS iteration's selection count (unsupervised_learning.R:
+    # 492-500), not the post-selection count of the final iteration.
+    scored = scored.withColumn("g_est", fam.g_est_expr(n_M_count_for_g, n))
     scored = scored.persist(StorageLevel.MEMORY_AND_DISK)
 
     summary: SelectionSummary = summarize_mec_selection(

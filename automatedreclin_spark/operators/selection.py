@@ -128,9 +128,16 @@ def select_mec_pairs(
             lambda pdf: _block_greedy_pdf(pdf, dup, asc, inv),
             schema=work.schema,
         )
-        order_cols = (
-            [F.col("ratio").asc() if ascending else F.col("ratio").desc(), "a", "b"]
-        )
+        # Global sort key mirrors greedy_select_local exactly: Spark's
+        # orderBy sorts NaN GREATEST (before +Inf), but the per-block pandas
+        # sweep and the reference sort NaN/NA *last* (internals.R:1712-1713);
+        # under invalid_to_never negative scores are "never" too. Remap so a
+        # degenerate 0/0 ratio cannot jump the queue.
+        never = float("inf") if ascending else float("-inf")
+        key = F.col("ratio")
+        bad = F.isnan(key) | (key < 0) if invalid_to_never else F.isnan(key)
+        sort_key = F.when(bad, F.lit(never)).otherwise(key)
+        order_cols = [sort_key.asc() if ascending else sort_key.desc(), "a", "b"]
         selected = survivors.orderBy(*order_cols).limit(n_target)
     else:
         local = work.select("a", "b", "ratio").toPandas()

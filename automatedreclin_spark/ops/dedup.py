@@ -214,9 +214,16 @@ def simhash_dedup(df: DataFrame, id_col: str, text_col: str,
     slice_bits = 64 // n_tables
     sh = ensure_parallelism(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))) \
         .select("id", simhash_udf()(F.col("_t")).alias("simhash"))
+    # shiftrightUNSIGNED: the arithmetic shift would sign-extend, folding the
+    # sign bit (bit 63) into EVERY slice's remainder class — a pair differing
+    # in bit 63 would then share no bucket and the pigeonhole cover breaks
+    # (caught by the brute-force DuckDB oracle: 481/19032 pairs missed at
+    # sf0.01). With the logical shift slice t is exactly bits
+    # [t·w, t·w+w): ≤ max_hamming in-slice diffs + possibly one bit-63 diff
+    # still leave ≥1 of the max_hamming+1 slices clean.
     slices = [
         F.struct(F.lit(t).alias("t"),
-                 (F.shiftright("simhash", t * slice_bits) % (1 << slice_bits)).alias("s"))
+                 (F.shiftrightunsigned("simhash", t * slice_bits) % (1 << slice_bits)).alias("s"))
         for t in range(n_tables)
     ]
     exploded = sh.select("id", "simhash", F.explode(F.array(*slices)).alias("sl")) \

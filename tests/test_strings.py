@@ -63,3 +63,33 @@ def test_jaro_matches_duckdb_on_random_strings():
         y = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 12))).strip()
         d = con.execute("select jaro_similarity(?, ?)", [x, y]).fetchone()[0]
         assert jaro_similarity(x, y) == pytest.approx(d, abs=1e-12), (x, y)
+
+
+def test_jaro_batch_exact_parity_with_scalar():
+    """jaro_similarity_batch (the Arrow hot path) must be bit-identical to the
+    scalar kernel on every row — goldens, random strings, empties, Nones,
+    long-string fallback rows."""
+    import random
+
+    import numpy as np
+
+    from automatedreclin_spark.functions.strings import jaro_similarity_batch
+
+    rng = random.Random(42)
+    alphabet = "abcdef  "
+
+    def rnd(lo, hi):
+        return "".join(rng.choice(alphabet) for _ in range(rng.randint(lo, hi)))
+
+    cases = [(x, y) for x, y, _ in GOLDEN_JW_COMPLEMENT]
+    cases += [("", "x"), ("", ""), ("a", "a"), (None, "x"), ("x", None), (None, None)]
+    cases += [(rnd(0, 30), rnd(0, 30)) for _ in range(3000)]
+    cases += [(rnd(60, 120), rnd(60, 120)) for _ in range(40)]  # long fallback
+    xs = [c[0] for c in cases]
+    ys = [c[1] for c in cases]
+    got = jaro_similarity_batch(xs, ys)
+    for i, (a, b) in enumerate(cases):
+        if a is None or b is None:
+            assert np.isnan(got[i])
+        else:
+            assert got[i] == jaro_similarity(a, b), (a, b)
