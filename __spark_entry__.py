@@ -53,9 +53,19 @@ def _wrap(fn: Callable[[SparkSession, str], DataFrame]):
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: blocked unsupervised binary
-    MEC over the customer-derived record sets; returns matched pairs."""
+    MEC over the customer-derived record sets; returns matched pairs
+    (a, b, ratio). (The registry's `mec_binary_customer` runs the same fit
+    but emits its oracle-checkable invariant table.)"""
     _ensure_shipped(spark)
-    return QUERIES["mec_binary_customer"](spark, "/root/testdata/sf0.001")
+    from automatedreclin_spark.entry_queries import _record_sets
+    from automatedreclin_spark.models.mec import mec
+    from automatedreclin_spark.operators.pairs import block_pairs
+
+    A, B = _record_sets(spark, "/root/testdata/sf0.001")
+    pairs = block_pairs(A, B, block_col="block", dedup=False)
+    res = mec(A, B, variables=["name", "seg"],
+              pairs=pairs.select("block", "a", "b"), block_col="block")
+    return res.M_est.orderBy("a", "b")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -236,9 +236,21 @@ FROM counts
 """
 
 
+def _invariant_df(spark: SparkSession, rows: list[tuple[str, float]]) -> DataFrame:
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["metric", "value"]).astype({"value": "float64"})
+    )
+
+
 def q_mec_binary_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: blocked unsupervised binary MEC on the derived record sets.
-    Iterative fit — not SQL-expressible; driver records rows-only check."""
+
+    The fixed-point fit itself is not SQL-expressible, so the query emits the
+    fit's CONTRACT as an invariant table the oracle can pin (the reference's
+    own blocked-MEC contract, inst/tinytest/test_mec_blocking.R:13-35):
+    |M_est| = round(n̂_M), one-to-one on both sides, M ⊆ candidate pairs,
+    |M_est| ≤ min(n_A, n_B) — plus data-dependent anchors (min_ab,
+    n_candidate_pairs) that DuckDB derives independently."""
     A, B = _record_sets(spark, sf_dir)
     pairs = block_pairs(A, B, block_col="block", dedup=False)
     res = mec(
@@ -246,7 +258,40 @@ def q_mec_binary_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs=pairs.select("block", "a", "b"),
         block_col="block",
     )
-    return res.M_est.orderBy("a", "b")
+    M = res.M_est
+    agg = M.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.count_distinct("a").alias("da"),
+        F.count_distinct("b").alias("db"),
+    ).collect()[0]
+    outside = M.select("a", "b").join(
+        pairs.select("a", "b"), ["a", "b"], "left_anti"
+    ).count()
+    n_a, n_b = A.count(), B.count()
+    cnt = int(agg["cnt"])
+    return _invariant_df(spark, [
+        ("m_est_size_minus_round_n_m", float(cnt - round(res.n_M_est))),
+        ("one_to_one_a_violations", float(cnt - int(agg["da"]))),
+        ("one_to_one_b_violations", float(cnt - int(agg["db"]))),
+        ("pairs_outside_candidates", float(outside)),
+        ("m_est_within_cap", 1.0 if cnt <= min(n_a, n_b) else 0.0),
+        ("min_ab", float(min(n_a, n_b))),
+        ("n_candidate_pairs", float(res.n)),
+    ])
+
+
+ORACLE_MEC_INVARIANTS = f"""
+WITH A AS ({_SQL_A}), B AS ({_SQL_B}),
+cand AS (SELECT A.a, B.b FROM A JOIN B ON A.block = B.block)
+SELECT 'm_est_size_minus_round_n_m' AS metric, 0.0 AS value
+UNION ALL SELECT 'one_to_one_a_violations', 0.0
+UNION ALL SELECT 'one_to_one_b_violations', 0.0
+UNION ALL SELECT 'pairs_outside_candidates', 0.0
+UNION ALL SELECT 'm_est_within_cap', 1.0
+UNION ALL SELECT 'min_ab',
+  least((SELECT COUNT(*) FROM A), (SELECT COUNT(*) FROM B))::DOUBLE
+UNION ALL SELECT 'n_candidate_pairs', (SELECT COUNT(*) FROM cand)::DOUBLE
+"""
 
 
 # ------------------------------------------------- training-data-pipeline ----
@@ -447,7 +492,7 @@ ORACLES: dict[str, str] = {
     "exact_match_seeds": ORACLE_EXACT_SEEDS,
     "block_summary": ORACLE_BLOCK_SUMMARY,
     "evaluation_metrics": ORACLE_EVALUATION,
-    # mec_binary_customer: iterative fixed-point fit — rows-only check.
+    # mec_binary_customer: invariant-table oracle added below.
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "text_token_stats": ORACLE_TOKEN_STATS,
     "ngram_jaccard_pairs": ORACLE_NGRAM_JACCARD,
@@ -752,19 +797,71 @@ SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id
 
 
 def q_blocked_mec_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Blocked inverted MEC (models/blocked_mec.py) on the derived record
-    sets — iterative fit, rows-only check."""
+    """Blocked inverted MEC (models/blocked_mec.py) — the fit emits its
+    structural contract (internals.R:1953-2222 / test_mec_blocking.R):
+    |M| = n̂_M, n̂_M + n̂_U = N, n̂_U ≥ N − ν, per-block |M_h| ≤ min(n_Ah, n_Bh),
+    one-to-one both sides — plus the block-summary scalars ν, n_U_min and N,
+    which DuckDB recomputes independently from the block sizes (so the
+    blocked bound arithmetic is cross-checked, not just pinned)."""
     from automatedreclin_spark.models.blocked_mec import blocked_mec
 
     A, B = _record_sets(spark, sf_dir)
     res = blocked_mec(A, B, variables=["name", "seg"])
-    return res.M_est.orderBy("block", "a", "b")
+    M = res.M_est
+    agg = M.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.count_distinct("a").alias("da"),
+        F.count_distinct("b").alias("db"),
+    ).collect()[0]
+    cnt = int(agg["cnt"])
+    sizes = (
+        A.groupBy("block").agg(F.count(F.lit(1)).alias("na"))
+        .join(B.groupBy("block").agg(F.count(F.lit(1)).alias("nb")), "block")
+    )
+    cap_viol = (
+        M.groupBy("block").agg(F.count(F.lit(1)).alias("m_h"))
+        .join(sizes, "block")
+        .filter(F.col("m_h") > F.least("na", "nb"))
+        .count()
+    )
+    return _invariant_df(spark, [
+        ("m_size_minus_n_m_est", float(cnt - res.n_M_est)),
+        ("n_m_plus_n_u_minus_n", float(res.n_M_est + res.n_U_est - res.candidate_pair_count)),
+        ("n_u_ge_n_u_min", 1.0 if res.n_U_est >= res.n_U_min else 0.0),
+        ("per_block_cap_violations", float(cap_viol)),
+        ("one_to_one_a_violations", float(cnt - int(agg["da"]))),
+        ("one_to_one_b_violations", float(cnt - int(agg["db"]))),
+        ("nu", float(res.nu)),
+        ("n_u_min", float(res.n_U_min)),
+        ("n_candidate_pairs", float(res.candidate_pair_count)),
+    ])
+
+
+ORACLE_BLOCKED_MEC_INVARIANTS = f"""
+WITH A AS ({_SQL_A}), B AS ({_SQL_B}),
+ac AS (SELECT block, COUNT(*) AS na FROM A GROUP BY block),
+bc AS (SELECT block, COUNT(*) AS nb FROM B GROUP BY block),
+bs AS (SELECT na, nb FROM ac JOIN bc USING (block))
+SELECT 'm_size_minus_n_m_est' AS metric, 0.0 AS value
+UNION ALL SELECT 'n_m_plus_n_u_minus_n', 0.0
+UNION ALL SELECT 'n_u_ge_n_u_min', 1.0
+UNION ALL SELECT 'per_block_cap_violations', 0.0
+UNION ALL SELECT 'one_to_one_a_violations', 0.0
+UNION ALL SELECT 'one_to_one_b_violations', 0.0
+UNION ALL SELECT 'nu', (SELECT SUM(least(na, nb)) FROM bs)::DOUBLE
+UNION ALL SELECT 'n_u_min',
+  (SELECT SUM(na * nb) - SUM(least(na, nb)) FROM bs)::DOUBLE
+UNION ALL SELECT 'n_candidate_pairs', (SELECT SUM(na * nb) FROM bs)::DOUBLE
+"""
 
 
 def q_supervised_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Supervised train → predict (models/supervised.py): train on the
-    same-custkey labels within candidates, score a derived holdout.
-    Iterative fixed point — rows-only check."""
+    same-custkey labels within candidates, score a derived holdout. The
+    fixed-point n̂_M solve isn't SQL-expressible; the query emits the
+    prediction contract (|pred| = round(n̂_M), one-to-one, pred ⊆ holdout
+    candidates, |pred| ≤ min holdout side) plus holdout-size anchors DuckDB
+    derives independently."""
     from automatedreclin_spark.models.supervised import predict_rec_lin, train_rec_lin
     from automatedreclin_spark.operators.pairs import block_pairs as _bp
 
@@ -778,9 +875,43 @@ def q_supervised_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     model = train_rec_lin(trainA, trainB, matches, variables=["name", "seg"])
     holdA = A.filter(F.col("a") % 7 == 0)
     holdB = B.filter(F.col("b") % 7 == 0)
-    pred = predict_rec_lin(model, holdA, holdB,
-                           pairs=_bp(holdA, holdB, dedup=False).select("a", "b"))
-    return pred.M_est.orderBy("a", "b")
+    hold_pairs = _bp(holdA, holdB, dedup=False).select("a", "b")
+    pred = predict_rec_lin(model, holdA, holdB, pairs=hold_pairs)
+    M = pred.M_est
+    agg = M.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.count_distinct("a").alias("da"),
+        F.count_distinct("b").alias("db"),
+    ).collect()[0]
+    cnt = int(agg["cnt"])
+    outside = M.select("a", "b").join(hold_pairs, ["a", "b"], "left_anti").count()
+    n_ha, n_hb = holdA.count(), holdB.count()
+    return _invariant_df(spark, [
+        ("pred_size_minus_round_n_m", float(cnt - round(pred.n_M_est))),
+        ("one_to_one_a_violations", float(cnt - int(agg["da"]))),
+        ("one_to_one_b_violations", float(cnt - int(agg["db"]))),
+        ("pairs_outside_holdout_candidates", float(outside)),
+        ("pred_within_cap", 1.0 if cnt <= min(n_ha, n_hb) else 0.0),
+        ("n_hold_a", float(n_ha)),
+        ("n_hold_b", float(n_hb)),
+        ("n_holdout_pairs", float(hold_pairs.count())),
+    ])
+
+
+ORACLE_SUPERVISED_INVARIANTS = f"""
+WITH A AS ({_SQL_A}), B AS ({_SQL_B}),
+HA AS (SELECT * FROM A WHERE a % 7 = 0),
+HB AS (SELECT * FROM B WHERE b % 7 = 0),
+hp AS (SELECT HA.a, HB.b FROM HA JOIN HB ON HA.block = HB.block)
+SELECT 'pred_size_minus_round_n_m' AS metric, 0.0 AS value
+UNION ALL SELECT 'one_to_one_a_violations', 0.0
+UNION ALL SELECT 'one_to_one_b_violations', 0.0
+UNION ALL SELECT 'pairs_outside_holdout_candidates', 0.0
+UNION ALL SELECT 'pred_within_cap', 1.0
+UNION ALL SELECT 'n_hold_a', (SELECT COUNT(*) FROM HA)::DOUBLE
+UNION ALL SELECT 'n_hold_b', (SELECT COUNT(*) FROM HB)::DOUBLE
+UNION ALL SELECT 'n_holdout_pairs', (SELECT COUNT(*) FROM hp)::DOUBLE
+"""
 
 
 QUERIES.update({
@@ -790,6 +921,9 @@ QUERIES.update({
 })
 ORACLES.update({
     "dedup_clusters": _dedup_clusters_oracle(),
+    "mec_binary_customer": ORACLE_MEC_INVARIANTS,
+    "blocked_mec_customer": ORACLE_BLOCKED_MEC_INVARIANTS,
+    "supervised_predict": ORACLE_SUPERVISED_INVARIANTS,
 })
 
 
@@ -815,3 +949,111 @@ WHERE list_dot_product(x.v, y.v)
 
 QUERIES["embedding_dedup"] = q_embedding_dedup
 ORACLES["embedding_dedup"] = ORACLE_EMBEDDING_DEDUP
+
+
+# ------------------------------------------ fixed-param ratio scoring (A5/A6) --
+#
+# The heart of the MEC engine — Bernoulli-product and hurdle-Gamma density
+# RATIO scoring (internals.R:358-403, 749-831) — is pure arithmetic once the
+# parameters are fixed, so it IS SQL-expressible. This query runs the exact
+# production column expressions (families.bernoulli_product_expr /
+# hurdle_gamma_product_expr / g_est_expr) with pinned parameters over the
+# customer Ω; the oracle mirrors the same arithmetic with the same Python-
+# computed float literals (lgamma/log constants are driver-side in BOTH).
+
+_FIXED = {
+    "theta": [0.95, 0.9],        # binary M-side (gamma_name, gamma_seg)
+    "eta": [0.02, 0.2],          # binary U-side
+    "p0_M": 0.9, "alpha_M": 2.0, "beta_M": 8.0,   # hurdle-Gamma M (lev gamma)
+    "p0_U": 0.05, "alpha_U": 1.5, "beta_U": 2.0,  # hurdle-Gamma U
+    "n_M": 100.0, "n": 50000.0,  # posterior g_est scalars (driver-side in mec)
+}
+
+
+def q_score_ratio_fixed_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5/A6/A9 with pinned parameters: production scoring expressions,
+    hash-checked against the DuckDB mirror (log-ratio + posterior ĝ)."""
+    from automatedreclin_spark.models import families as fam
+
+    A, B = _record_sets(spark, sf_dir)
+    A = A.withColumn("name_lev", F.col("name"))
+    B = B.withColumn("name_lev", F.col("name"))
+    pairs = block_pairs(A, B, dedup=False)
+    cv = comparison_vectors(
+        A, B, ["name", "seg", "name_lev"],
+        comparators={"name": cmp_identical(), "seg": cmp_identical(),
+                     "name_lev": levenshtein_norm()},
+        pairs=pairs, check_finite=False,
+    )
+    p = _FIXED
+    b_g = ["gamma_name", "gamma_seg"]
+    ratio = (
+        F.lit(1.0)
+        * (fam.bernoulli_product_expr(b_g, p["theta"])
+           / fam.bernoulli_product_expr(b_g, p["eta"]))
+        * (fam.hurdle_gamma_product_expr(["gamma_name_lev"], [p["p0_M"]],
+                                         [p["alpha_M"]], [p["beta_M"]])
+           / fam.hurdle_gamma_product_expr(["gamma_name_lev"], [p["p0_U"]],
+                                           [p["alpha_U"]], [p["beta_U"]]))
+    )
+    scored = cv.omega.withColumn("ratio", ratio)
+    return scored.select(
+        "a", "b",
+        F.round(F.log("ratio"), 6).alias("log_ratio"),
+        F.round(fam.g_est_expr(p["n_M"], p["n"]), 6).alias("g_est"),
+    )
+
+
+def _score_ratio_oracle() -> str:
+    """Mirror of q_score_ratio_fixed_params: identical arithmetic shape with
+    identical Python-float literals (17-significant-digit reprs round-trip
+    exactly), so both engines execute the same IEEE-double expression tree."""
+    import math
+
+    p = _FIXED
+
+    def bern(cols: list[str], probs: list[float]) -> str:
+        terms = [
+            f"({g} * {p_!r} + (1.0 - {g}) * {1.0 - p_!r})"
+            for g, p_ in zip(cols, probs)
+        ]
+        return "(" + " * ".join(terms) + ")"
+
+    def hurdle(g: str, p0: float, a: float, b: float) -> str:
+        log_c = a * math.log(b) - math.lgamma(a)
+        return (
+            f"(CASE WHEN {g} = 0 THEN {p0!r} "
+            f"ELSE {1.0 - p0!r} * exp({log_c!r} + {a - 1.0!r} * ln({g}) "
+            f"- {b!r} * {g}) END)"
+        )
+
+    ratio = (
+        f"((1.0 * ({bern(['g_name', 'g_seg'], p['theta'])}"
+        f" / {bern(['g_name', 'g_seg'], p['eta'])}))"
+        f" * ({hurdle('g_lev', p['p0_M'], p['alpha_M'], p['beta_M'])}"
+        f" / {hurdle('g_lev', p['p0_U'], p['alpha_U'], p['beta_U'])}))"
+    )
+    n_M, n = p["n_M"], p["n"]
+    return f"""
+WITH A AS ({_SQL_A}), B AS ({_SQL_B}),
+omega AS (
+  SELECT A.a, B.b,
+         CAST(A.name = B.name AS DOUBLE) AS g_name,
+         CAST(A.seg = B.seg AS DOUBLE) AS g_seg,
+         CASE WHEN greatest(length(A.name), length(B.name)) = 0 THEN 0.0
+              ELSE CAST(levenshtein(A.name, B.name) AS DOUBLE)
+                   / CAST(greatest(length(A.name), length(B.name)) AS DOUBLE)
+         END AS g_lev
+  FROM A JOIN B ON A.block = B.block
+), scored AS (
+  SELECT a, b, {ratio} AS ratio FROM omega
+)
+SELECT a, b,
+       ROUND(ln(ratio), 6) AS log_ratio,
+       ROUND(least(1.0, {n_M!r} * ratio / ({n_M!r} * (ratio - 1.0) + {n!r})), 6) AS g_est
+FROM scored
+"""
+
+
+QUERIES["score_ratio_fixed_params"] = q_score_ratio_fixed_params
+ORACLES["score_ratio_fixed_params"] = _score_ratio_oracle()
