@@ -25,7 +25,7 @@ import time
 from pathlib import Path
 from typing import Any, Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -64,10 +64,17 @@ class CheckpointManager:
 
         t0 = time.time()
         df = builder()
+        # df.observe: rows_out is measured DURING the snapshot write itself
+        # (no second scan of the builder's plan) — the lineage counter the
+        # Iceberg commit would carry as snapshot summary metadata.
+        obs = Observation(f"ck_{name}")
+        df = df.observe(obs, F.count(F.lit(1)).alias("rows_out"))
         df.write.mode("overwrite").parquet(str(data_dir))
+        rows_out = int(obs.get["rows_out"])
         out = self.spark.read.parquet(str(data_dir))
 
-        # Lineage counters: rows per physical partition of the snapshot.
+        # Per-partition lineage counters of the committed snapshot (cheap:
+        # one count over the freshly written parquet).
         per_part = (
             out.groupBy(F.spark_partition_id().alias("partition_id"))
             .agg(F.count(F.lit(1)).alias("rows"))
@@ -75,7 +82,7 @@ class CheckpointManager:
         )
         manifest = {
             "stage": name,
-            "rows": int(sum(r["rows"] for r in per_part)),
+            "rows": rows_out,
             "partitions": {int(r["partition_id"]): int(r["rows"]) for r in per_part},
             "schema": out.schema.simpleString(),
             "elapsed_sec": round(time.time() - t0, 3),
@@ -84,7 +91,49 @@ class CheckpointManager:
         sdir.mkdir(parents=True, exist_ok=True)
         (sdir / "manifest.json").write_text(json.dumps(manifest, indent=2, default=str))
         (sdir / "_COMMITTED").write_text(str(time.time()))
+        self._append_counters(name, rows_out, len(per_part),
+                              manifest["elapsed_sec"], meta)
         return out
+
+    # ---------------------------------------------------- counters table ----
+
+    def _counters_path(self) -> Path:
+        return self.base / "_counters.jsonl"
+
+    def _append_counters(self, stage: str, rows_out: int, n_partitions: int,
+                         elapsed_sec: float, meta: dict[str, Any] | None) -> None:
+        """One queryable row per committed stage — the (stage, iter, rows_in,
+        rows_out) lineage table of SURVEY §7.0. rows_in for a stage is its
+        upstream stages' rows_out (stages are pure functions of committed
+        snapshots), so the table carries rows_out + the stage graph via
+        ``meta``; appended atomically AFTER the commit marker."""
+        rec = {
+            "stage": stage,
+            "committed_at": time.time(),
+            "rows_out": rows_out,
+            "n_partitions": n_partitions,
+            "elapsed_sec": elapsed_sec,
+            "meta": meta or {},
+        }
+        with self._counters_path().open("a") as f:
+            f.write(json.dumps(rec, default=str) + "\n")
+
+    def counters(self) -> DataFrame:
+        """The per-stage lineage/counters table as a DataFrame (survives
+        resume: committed stages keep their original rows; re-run stages
+        append a fresh row, so the history is an audit log)."""
+        p = self._counters_path()
+        if not p.exists():
+            return self.spark.createDataFrame(
+                [], "stage string, committed_at double, rows_out long, "
+                    "n_partitions long, elapsed_sec double")
+        recs = [json.loads(ln) for ln in p.read_text().splitlines() if ln.strip()]
+        return self.spark.createDataFrame(
+            [(r["stage"], float(r["committed_at"]), int(r["rows_out"]),
+              int(r["n_partitions"]), float(r["elapsed_sec"])) for r in recs],
+            "stage string, committed_at double, rows_out long, "
+            "n_partitions long, elapsed_sec double",
+        )
 
     def scalar(self, name: str, builder: Callable[[], dict[str, Any]]) -> dict[str, Any]:
         """Checkpoint small driver-side results (fitted params, counts)."""

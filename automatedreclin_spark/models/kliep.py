@@ -29,13 +29,42 @@ from pyspark.sql.functions import pandas_udf
 
 
 @dataclass
+class KliepControl:
+    """Parity knobs mirroring the reference's ``control_kliep``
+    (controls.R:19-25) plus this package's own defaults.
+
+    - ``nfold``: likelihood-CV folds for the sigma grid. The reference
+      defaults to 2 (densityratio::kliep via control_kliep); this package
+      has used 5 since round 1 — pass ``nfold=2`` for reference behavior.
+    - ``scale``: None | "numerator" | "denominator" — standardize inputs by
+      that side's mean/sd before fitting (controls.R `scale`); the model
+      stores (mu, sd) so scoring applies the same transform.
+    - ``centers``: "quantile" (deterministic numerator quantile grid, repo
+      default — reproducible across runs) or "numerator" (numerator points
+      as kernel centers, densityratio's behavior, taken as a deterministic
+      stride subsample instead of a random one).
+    - ``n_centers`` / ``sigmas``: kernel-center budget and explicit sigma
+      grid (None → data-driven spread grid).
+    """
+
+    nfold: int = 5
+    n_centers: int = 100
+    sigmas: list[float] | None = None
+    centers: str = "quantile"
+    scale: str | None = None
+
+
+@dataclass
 class KliepModel:
     centers: np.ndarray   # (L,)
     alpha: np.ndarray     # (L,)
     sigma: float
+    mu: float = 0.0       # input standardization (KliepControl.scale)
+    sd: float = 1.0
 
     def predict(self, x: np.ndarray) -> np.ndarray:
-        k = np.exp(-((x[:, None] - self.centers[None, :]) ** 2) / (2 * self.sigma**2))
+        z = (np.asarray(x, dtype=np.float64) - self.mu) / self.sd
+        k = np.exp(-((z[:, None] - self.centers[None, :]) ** 2) / (2 * self.sigma**2))
         return k @ self.alpha
 
 
@@ -78,17 +107,38 @@ def fit_kliep(
     sigmas: list[float] | None = None,
     n_folds: int = 5,
     seed: int = 1,
+    control: KliepControl | None = None,
 ) -> KliepModel:
-    """Univariate KLIEP fit with likelihood CV over a sigma grid. Centers are
-    deterministic numerator quantiles (the reference samples; we trade exact
-    parity for reproducibility, which the driver's F1 check allows)."""
+    """Univariate KLIEP fit with likelihood CV over a sigma grid. Default
+    centers are deterministic numerator quantiles (the reference samples; we
+    trade exact parity for reproducibility, which the driver's F1 check
+    allows); pass ``control=KliepControl(nfold=2, centers="numerator")`` for
+    reference-default behavior (control_kliep, controls.R:19-25)."""
+    if control is not None:
+        n_centers = control.n_centers
+        sigmas = control.sigmas if control.sigmas is not None else sigmas
+        n_folds = control.nfold
     x_num = np.asarray(x_numerator, dtype=np.float64)
     x_den = np.asarray(x_denominator, dtype=np.float64)
     if len(x_num) < 2 or len(x_den) < 2:
         raise ValueError("KLIEP needs at least two positive comparisons per side.")
 
+    mu, sd = 0.0, 1.0
+    if control is not None and control.scale is not None:
+        side = x_num if control.scale == "numerator" else x_den
+        mu = float(side.mean())
+        sd = float(side.std()) or 1.0
+        x_num = (x_num - mu) / sd
+        x_den = (x_den - mu) / sd
+
     L = min(n_centers, len(x_num))
-    centers = np.quantile(x_num, np.linspace(0, 1, L))
+    if control is not None and control.centers == "numerator":
+        # densityratio behavior: numerator points as kernel centers (here a
+        # deterministic stride subsample rather than a random one).
+        step = max(1, len(x_num) // L)
+        centers = x_num[::step][:L]
+    else:
+        centers = np.quantile(x_num, np.linspace(0, 1, L))
 
     if sigmas is None:
         spread = np.subtract(*np.percentile(np.concatenate([x_num, x_den]), [90, 10]))
@@ -125,7 +175,7 @@ def fit_kliep(
 
     K_den = kernel(x_den, best_sigma)
     alpha = _fit_alpha(kernel(x_num, best_sigma), K_den.mean(axis=0))
-    return KliepModel(centers=centers, alpha=alpha, sigma=best_sigma)
+    return KliepModel(centers=centers, alpha=alpha, sigma=best_sigma, mu=mu, sd=sd)
 
 
 def kliep_positive_udf(model: KliepModel) -> Column:
@@ -134,10 +184,11 @@ def kliep_positive_udf(model: KliepModel) -> Column:
     centers = model.centers
     alpha = model.alpha
     sigma = model.sigma
+    mu, sd = model.mu, model.sd
 
     @pandas_udf("double")
     def _score(g: pd.Series) -> pd.Series:
-        x = g.to_numpy(dtype=np.float64)
+        x = (g.to_numpy(dtype=np.float64) - mu) / sd
         k = np.exp(-((x[:, None] - centers[None, :]) ** 2) / (2 * sigma**2))
         return pd.Series(k @ alpha)
 

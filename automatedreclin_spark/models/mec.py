@@ -105,6 +105,7 @@ def mec(
     a_col: str = "a",
     b_col: str = "b",
     seed: int = 1,
+    kliep_control=None,
     verbose: bool = False,
 ) -> MecResult:
     """Unsupervised MEC fit. ``A`` / ``B`` must carry record-id columns
@@ -367,7 +368,10 @@ def mec(
             x_num = collect_gamma_matrix(M_selected, cnonpar_gammas, seed=seed)
             x_den = collect_gamma_matrix(U_df, cnonpar_gammas, seed=seed)
             try:
-                model = fit_kliep_multi(x_num, x_den, seed=seed)
+                model = fit_kliep_multi(
+                    x_num, x_den, seed=seed,
+                    n_folds=(kliep_control.nfold if kliep_control else 5),
+                )
                 cnonpar_expr = kliep_multi_udf(model, cnonpar_gammas)
                 kliep_models = {"__multi__": model}
             except Exception as e:  # noqa: BLE001
@@ -398,7 +402,8 @@ def mec(
                 x_den = collect_positive_gammas(U_df, g, seed=seed)
                 if len(x_num) >= 2 and len(x_den) >= 2:
                     try:
-                        new_models[g] = fit_kliep(x_num, x_den, seed=seed)
+                        new_models[g] = fit_kliep(x_num, x_den, seed=seed,
+                                                  control=kliep_control)
                         fitted_any = True
                     except Exception as e:  # noqa: BLE001 - mirror tryCatch
                         warnings.warn(f"KLIEP issue in mec() for {g}: {e}")

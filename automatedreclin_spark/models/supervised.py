@@ -72,9 +72,12 @@ def train_rec_lin(
     prob_ratio: str = "1",
     a_col: str = "a",
     b_col: str = "b",
+    kliep_control=None,
 ) -> RecLinModel:
     """One-shot supervised fit. ``matches`` is DataFrame[a, b] of known match
-    pairs (validated like reference internals.R:122-159)."""
+    pairs (validated like reference internals.R:122-159). ``kliep_control``:
+    a models.kliep.KliepControl for reference-parity KLIEP knobs
+    (control_kliep, controls.R:19-25)."""
     if prob_ratio not in ("1", "2"):
         raise ValueError('`prob_ratio` should be "1" or "2".')
     methods = _validate_methods(methods, variables)
@@ -186,7 +189,7 @@ def train_rec_lin(
             x_den = collect_positive_gammas(denom_df, g)
             if len(x_num) >= 2 and len(x_den) >= 2:
                 try:
-                    kliep_models[g] = fit_kliep(x_num, x_den)
+                    kliep_models[g] = fit_kliep(x_num, x_den, control=kliep_control)
                     continue
                 except Exception:  # noqa: BLE001
                     pass

@@ -30,6 +30,7 @@ BENCH_QUERIES = [
     "cv_binary",            # J4 block join + binary gammas (Catalyst)
     "cv_levenshtein",       # native levenshtein gamma
     "cv_jaro",              # Arrow pandas-UDF gamma
+    "score_ratio_fixed_params",  # A5/A6/A9 density-ratio scoring (Catalyst)
     "mec_binary_customer",  # full iterative MEC fit + 1:1 selection
     "blocked_mec_customer", # inverted blocked MEC (the scale path)
     "dedup_exact",
@@ -41,7 +42,8 @@ BENCH_QUERIES = [
 ]
 
 #: queries whose output rows == scored candidate pairs (throughput basis)
-SCORING_QUERIES = ["cv_binary", "cv_levenshtein", "cv_jaro"]
+SCORING_QUERIES = ["cv_binary", "cv_levenshtein", "cv_jaro",
+                   "score_ratio_fixed_params"]
 
 
 def force(df) -> int:

@@ -136,3 +136,32 @@ def test_cnonpar_without_hurdle(data):
     assert {(i, i) for i in range(1, 9)} <= got
     assert res.eval_metrics["MMR"] == 0.0
     assert m["a"].is_unique and m["b"].is_unique
+
+
+def test_long_fit_iteration_cost_flat(spark):
+    """A fit forced to run max_iter iterations (delta=0, eps=0 disable both
+    convergence criteria) must have flat per-iteration cost: no cached-
+    DataFrame accumulation (the loop unpersists the previous selection) and
+    no lineage growth (scored is rebuilt from the persisted gamma base each
+    iteration). Quadratic growth would make the 4x-longer run ~16x slower;
+    assert well under that with headroom for timer noise."""
+    import time
+
+    import pandas as pd
+
+    rows_a = [(i, f"n{i % 9}", f"s{i % 5}") for i in range(40)]
+    rows_b = [(i, f"n{i % 9}", f"s{(i + (i % 3 == 0)) % 5}") for i in range(40)]
+    A = spark.createDataFrame(pd.DataFrame(rows_a, columns=["a", "name", "surname"]))
+    B = spark.createDataFrame(pd.DataFrame(rows_b, columns=["b", "name", "surname"]))
+
+    def run(n_iter):
+        t0 = time.time()
+        res = mec(A, B, variables=["name", "surname"], delta=0.0, eps=0.0,
+                  max_iter=n_iter)
+        assert res.n_iter == n_iter
+        return time.time() - t0
+
+    run(3)                      # warm codegen / python workers
+    t_short = run(12)
+    t_long = run(48)
+    assert t_long < 7.0 * t_short, (t_short, t_long)

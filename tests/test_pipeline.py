@@ -85,3 +85,29 @@ def test_manifests_carry_lineage(first_run):
     assert man["rows"] > 0
     assert sum(man["partitions"].values()) == man["rows"]
     assert man["meta"]["n_buckets"] == 4096
+
+
+def test_counters_table_exists_and_survives_resume(spark, corpus, first_run):
+    """SURVEY §7.0: per-stage lineage counters (df.observe rows_out measured
+    during the snapshot write) live in a queryable table under the checkpoint
+    dir, agree with the commit manifests, and survive a resume run (committed
+    stages append nothing)."""
+    from automatedreclin_spark.checkpoint import CheckpointManager
+    from automatedreclin_spark.pipeline import link_repo_files
+
+    run1, ckdir = first_run
+    ck = CheckpointManager(spark, ckdir)
+    c = ck.counters().toPandas()
+    stages = set(c["stage"])
+    assert {"10_records_A", "10_records_B", "20_candidates",
+            "30_components", "50_clusters"} <= stages
+    for st in stages:
+        m = ck.manifest(st)
+        assert m is not None
+        assert m["rows"] == int(c[c.stage == st]["rows_out"].iloc[-1])
+
+    n_before = len(c)
+    A, B, labels = corpus
+    link_repo_files(spark, A, B, checkpoint_dir=ckdir, labels=labels)
+    c2 = CheckpointManager(spark, ckdir).counters().toPandas()
+    assert len(c2) == n_before

@@ -137,3 +137,58 @@ def test_train_predict_cnonpar(tables):
     m = pred.M_est.orderBy("a").toPandas()
     assert {(r.a, r.b) for r in m.itertuples()} == {(1, 1), (2, 2), (3, 3)}
     assert pred.mmr_est == 0
+
+
+def test_kliep_control_reference_defaults(spark):
+    """control_kliep parity (controls.R:19-25): nfold=2 and numerator points
+    as kernel centers reproduce the reference's hurdle-ratio identity of
+    test_supervised_learning.R:133-155 — ratio(γ=0) = p0M/p0U exactly, and
+    ratio(γ>0) = (1−p0M)/(1−p0U)·r⁺(γ) with r⁺ from the 2-fold KLIEP fit."""
+    import numpy as np
+
+    from automatedreclin_spark.models.kliep import (
+        KliepControl,
+        fit_kliep,
+        kliep_hurdle_ratio_expr,
+    )
+
+    ctrl = KliepControl(nfold=2, centers="numerator")
+    x_num = np.array([0.1, 0.2, 0.3])
+    x_den = np.array([0.2, 0.4, 0.6])
+    m = fit_kliep(x_num, x_den, control=ctrl)
+    # densityratio behavior: the numerator points ARE the centers
+    assert m.centers.tolist() == [0.1, 0.2, 0.3]
+    # KLIEP normalization constraint: mean_r over the denominator sample = 1
+    assert float(m.predict(x_den).mean()) == pytest.approx(1.0, rel=1e-6)
+    pred = float(m.predict(np.array([0.4]))[0])
+    assert pred > 0
+
+    df = spark.createDataFrame(
+        [(1, 0.0), (2, 0.4)], "id long, gamma_name double"
+    )
+    out = (
+        df.withColumn("r", kliep_hurdle_ratio_expr(
+            ["gamma_name"], [0.4], [0.2], {"gamma_name": m}))
+        .orderBy("id").toPandas()
+    )
+    assert out["r"].iloc[0] == pytest.approx(0.4 / 0.2, abs=1e-12)
+    assert out["r"].iloc[1] == pytest.approx((1 - 0.4) / (1 - 0.2) * pred, rel=1e-9)
+
+
+def test_kliep_control_scale_roundtrip():
+    """scale='numerator'/'denominator' standardizes inputs at fit time and
+    the model applies the same (mu, sd) at scoring time — predictions remain
+    a valid density ratio (denominator-mean 1) under either scaling."""
+    import numpy as np
+
+    from automatedreclin_spark.models.kliep import KliepControl, fit_kliep
+
+    rng = np.random.default_rng(3)
+    x_num = rng.gamma(2.0, 2.0, 300)
+    x_den = rng.gamma(1.2, 1.0, 400)
+    for scale in ("numerator", "denominator"):
+        m = fit_kliep(x_num, x_den, control=KliepControl(nfold=2, scale=scale))
+        assert (m.mu, m.sd) != (0.0, 1.0)
+        r_den = m.predict(x_den)
+        assert np.isfinite(r_den).all() and (r_den >= 0).all()
+        assert float(r_den.mean()) == pytest.approx(1.0, rel=1e-6)
