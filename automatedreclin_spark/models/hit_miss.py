@@ -137,3 +137,133 @@ def hit_miss_eta(
         )
         out[v] = num / (1 - p_est / n_A)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Distributed EM — the scale path past MAX_B_ROWS_FOR_EM.
+# ---------------------------------------------------------------------------
+
+def fit_value_domains(A: DataFrame, B: DataFrame, variables: list[str]):
+    """Per-variable value-domain tables WITHOUT collecting B's row codes:
+    (value, m) pandas frames (domains are small categorical dims by the
+    method's construction — only the |B| ROW table is huge). Returns
+    (domains, n_A)."""
+    import pandas as pd
+
+    n_A = A.count()
+    domains: dict[str, pd.DataFrame] = {}
+    for v in variables:
+        a_counts = (
+            A.groupBy(F.col(v).cast("string").alias("value"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .toPandas()
+        )
+        b_vals = (
+            B.select(F.col(v).cast("string").alias("value")).distinct().toPandas()
+        )
+        # sorted domain: collect order of a distributed groupBy is partition-
+        # dependent, and the EM's random init is assigned positionally
+        dom = sorted(dict.fromkeys(list(a_counts["value"]) + list(b_vals["value"])))
+        m = pd.Series(0.0, index=dom)
+        m.loc[a_counts["value"]] = a_counts["cnt"].to_numpy() / n_A
+        domains[v] = pd.DataFrame({"value": dom, "m": m.to_numpy()})
+    return domains, n_A
+
+
+def hit_miss_em_spark(
+    B: DataFrame,
+    variables: list[str],
+    domains: dict,
+    p_est: float,
+    rng: np.random.Generator,
+    max_iter_em: int = 10,
+    tol_em: float = 1.0,
+) -> dict[str, np.ndarray]:
+    """The same EM as :func:`hit_miss_em`, but the per-row work (δ_b
+    posteriors, Σ(1−δ)·1[z=d] scatter) runs IN SPARK — per iteration:
+    K broadcast joins of the tiny (value, u) tables against B plus one
+    groupBy per variable. B is never collected; the only driver state is the
+    domain-sized u vectors. Exactly the SURVEY §2 A12 "EM as joins against
+    per-variable value tables" shape; float results match the numpy EM to
+    summation-order (tested at 1e-9).
+
+    The constant per-row m-product is computed once and persisted; u lookups
+    are re-broadcast each iteration (domain-sized, trivially small)."""
+    import pandas as pd
+    from pyspark.storagelevel import StorageLevel
+
+    spark = B.sparkSession
+    u: dict[str, np.ndarray] = {}
+    for v in variables:
+        init = rng.uniform(0, 1, len(domains[v]))
+        u[v] = init / init.sum()
+
+    base = B.select(*[F.col(v).cast("string").alias(f"z_{v}") for v in variables])
+    m_prod = F.lit(1.0)
+    for v in variables:
+        mdf = spark.createDataFrame(
+            domains[v].rename(columns={"value": f"z_{v}", "m": f"m_{v}"}))
+        base = base.join(F.broadcast(mdf), f"z_{v}", "left") \
+                   .withColumn(f"m_{v}", F.coalesce(f"m_{v}", F.lit(0.0)))
+        m_prod = m_prod * F.col(f"m_{v}")
+    base = base.withColumn("m_prod", m_prod) \
+               .select(*[f"z_{v}" for v in variables], "m_prod") \
+               .persist(StorageLevel.MEMORY_AND_DISK)
+
+    log_lik_old = None
+    have_delta_old = False
+    for it in range(1, max_iter_em + 2):
+        cur = base
+        u_prod = F.lit(1.0)
+        for v in variables:
+            udf_ = spark.createDataFrame(pd.DataFrame({
+                f"z_{v}": domains[v]["value"], f"u_{v}": u[v]}))
+            cur = cur.join(F.broadcast(udf_), f"z_{v}", "left") \
+                     .withColumn(f"u_{v}", F.coalesce(f"u_{v}", F.lit(0.0)))
+            u_prod = u_prod * F.col(f"u_{v}")
+        denom = p_est * F.col("m_prod") + (1 - p_est) * u_prod
+        cur = cur.withColumn("u_prod", u_prod).withColumn(
+            "delta", F.when(denom > 0, p_est * F.col("m_prod") / denom).otherwise(0.0)
+        ).withColumn("w", 1.0 - F.col("delta"))
+
+        if have_delta_old:
+            # log-lik uses the PREVIOUS delta against the CURRENT u-product —
+            # mirror the numpy loop exactly (delta_old is a deterministic
+            # function of the previous u, so recompute it in-plan).
+            ll = cur.agg(
+                F.sum(
+                    F.when(F.col("delta_prev") == 0, 0.0).otherwise(
+                        F.col("delta_prev")
+                        * F.log(F.greatest(p_est * F.col("m_prod"), F.lit(1e-300))))
+                    + F.when(F.col("u_prod") == 0, 0.0).otherwise(
+                        (1.0 - F.col("delta_prev"))
+                        * F.log(F.greatest((1 - p_est) * F.col("u_prod"), F.lit(1e-300))))
+                ).alias("ll"),
+            ).collect()[0]["ll"]
+            log_lik = float(ll)
+            if it >= 3 and abs(log_lik - log_lik_old) <= tol_em:
+                break
+            log_lik_old = log_lik
+
+        aggs = [F.sum("w").alias("_w_sum")]
+        scatter = cur.agg(*aggs).collect()[0]
+        w_sum = float(scatter["_w_sum"])
+        for v in variables:
+            counts = (
+                cur.groupBy(f"z_{v}").agg(F.sum("w").alias("w")).toPandas()
+                .set_index(f"z_{v}")["w"]
+            )
+            u_new = counts.reindex(domains[v]["value"]).fillna(0.0).to_numpy()
+            u[v] = u_new / w_sum if w_sum > 0 else u[v]
+
+        # materialize this iteration's delta as delta_prev for the next
+        # iteration's log-likelihood (mirrors the numpy loop's delta_old)
+        have_delta_old = True
+        prev = cur.select(*[f"z_{v}" for v in variables], "m_prod",
+                          F.col("delta").alias("delta_prev"))
+        old_base = base
+        base = prev.persist(StorageLevel.MEMORY_AND_DISK)
+        base.count()
+        old_base.unpersist()
+    base.unpersist()
+    return u

@@ -194,10 +194,21 @@ def mec(
     theta_hm = list(start_params.get("hit_miss", {}).get("theta", []))
     eta_hm = [float(init_row[f"hm_eta_{g}"]) for g in hm_gammas]
     hm_value_models = None
+    hm_domains = None
     if hm_gammas:
-        from automatedreclin_spark.models.hit_miss import fit_value_models
+        from automatedreclin_spark.models.hit_miss import (
+            MAX_B_ROWS_FOR_EM,
+            fit_value_domains,
+            fit_value_models,
+        )
 
-        hm_value_models = fit_value_models(A, B, hm_vars)
+        if n_B <= MAX_B_ROWS_FOR_EM:
+            # small/medium B: collect value codes, numpy EM (R-parity floats)
+            hm_value_models = fit_value_models(A, B, hm_vars)
+        else:
+            # scale path: EM as per-iteration joins against the tiny value
+            # tables — B is never collected (hit_miss_em_spark)
+            hm_domains, _ = fit_value_domains(A, B, hm_vars)
 
     p_0_M = list(start_params.get("continuous_parametric", {}).get("p_0_M", []))
     alpha_M = list(start_params.get("continuous_parametric", {}).get("alpha_M", []))
@@ -432,7 +443,13 @@ def mec(
         if hm_gammas:
             # Hit-miss EM: theta from M, u-distribution EM over B, eta from
             # the value model (unsupervised_learning.R:647-746).
-            from automatedreclin_spark.models.hit_miss import hit_miss_em, hit_miss_eta
+            from types import SimpleNamespace
+
+            from automatedreclin_spark.models.hit_miss import (
+                hit_miss_em,
+                hit_miss_em_spark,
+                hit_miss_eta,
+            )
 
             theta_hm_old = list(theta_hm)
             theta_hm = [float(m_row[f"hm_theta_{g}"]) for g in hm_gammas]
@@ -442,8 +459,16 @@ def mec(
             # iterations <k. Deterministic given `seed`; kept over per-
             # iteration re-seeding because the loose-tol EM is init-dependent
             # and this stream reproduces the R goldens (test_mec.R:55-63).
-            u = hit_miss_em(hm_value_models, p_est, rng)
-            eta_map = hit_miss_eta(hm_value_models, u, p_est, n_A)
+            if hm_value_models is not None:
+                u = hit_miss_em(hm_value_models, p_est, rng)
+                eta_models = hm_value_models
+            else:
+                u = hit_miss_em_spark(B, hm_vars, hm_domains, p_est, rng)
+                eta_models = {
+                    v: SimpleNamespace(m_est=hm_domains[v]["m"].to_numpy())
+                    for v in hm_vars
+                }
+            eta_map = hit_miss_eta(eta_models, u, p_est, n_A)
             eta_hm = [float(eta_map[v]) for v in hm_vars]
 
         scored = omega.withColumn(

@@ -124,9 +124,16 @@ def select_mec_pairs(
 
     if block_col is not None:
         dup, asc, inv = duplicates_in_A, ascending, invalid_to_never
-        survivors = work.groupBy(block_col).applyInPandas(
+        # The sweep needs only (block, a, b, ratio): shipping the full row
+        # through the groupBy shuffle + Arrow batches multiplies both the
+        # shuffle bytes and every Python worker's resident block by the
+        # gamma-column count (an 80 GB JVM OOM at 400M pairs before this).
+        # Survivors rejoin the full row via a semi join afterwards — the
+        # survivor set is ≤ Σ_h min(n_Ah, n_Bh), tiny next to Ω.
+        narrow = work.select(block_col, "a", "b", "ratio")
+        survivors = narrow.groupBy(block_col).applyInPandas(
             lambda pdf: _block_greedy_pdf(pdf, dup, asc, inv),
-            schema=work.schema,
+            schema=narrow.schema,
         )
         # Global sort key mirrors greedy_select_local exactly: Spark's
         # orderBy sorts NaN GREATEST (before +Inf), but the per-block pandas
@@ -139,6 +146,16 @@ def select_mec_pairs(
         sort_key = F.when(bad, F.lit(never)).otherwise(key)
         order_cols = [sort_key.asc() if ascending else sort_key.desc(), "a", "b"]
         selected = survivors.orderBy(*order_cols).limit(n_target)
+        extra = [c for c in work.columns if c not in (block_col, "a", "b", "ratio")]
+        if extra:
+            # Rejoin the full row for callers that aggregate gammas over M.
+            # The selected key set is ≤ n_target: broadcast it when small so
+            # Ω is never reshuffled; past the threshold a shuffle semi join
+            # is the right plan anyway.
+            keys = selected.select("a", "b")
+            if n_target <= 5_000_000:
+                keys = F.broadcast(keys)
+            selected = work.join(keys, ["a", "b"], "left_semi")
     else:
         local = work.select("a", "b", "ratio").toPandas()
         idx = greedy_select_local(

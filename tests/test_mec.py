@@ -165,3 +165,50 @@ def test_long_fit_iteration_cost_flat(spark):
     t_short = run(12)
     t_long = run(48)
     assert t_long < 7.0 * t_short, (t_short, t_long)
+
+
+def test_hit_miss_em_spark_matches_numpy(spark, data):
+    """The distributed EM (hit_miss_em_spark — per-iteration broadcast joins
+    against the value tables, B never collected) must reproduce the numpy EM
+    bit-for-summation-order: same domains, same RNG draws → u estimates equal
+    to 1e-9. This is the scale path taken automatically when |B| exceeds
+    MAX_B_ROWS_FOR_EM."""
+    import numpy as np
+    import pandas as pd
+
+    from automatedreclin_spark.models.hit_miss import (
+        fit_value_models,
+        hit_miss_em,
+        hit_miss_em_spark,
+    )
+
+    A, B, _ = data
+    models = fit_value_models(A, B, ["name", "surname"])
+    domains = {
+        v: pd.DataFrame({"value": models[v].values, "m": models[v].m_est})
+        for v in models
+    }
+    p_est = 0.3
+    u_np = hit_miss_em(models, p_est, np.random.default_rng(11))
+    u_sp = hit_miss_em_spark(B, ["name", "surname"], domains, p_est,
+                             np.random.default_rng(11))
+    for v in models:
+        assert np.allclose(u_np[v], u_sp[v], atol=1e-9), v
+
+
+def test_hit_miss_routes_to_spark_em_past_guard(spark, data, monkeypatch):
+    """Past MAX_B_ROWS_FOR_EM, mec(hit_miss) must switch to the distributed
+    EM instead of erroring, and still produce a valid one-to-one match set
+    containing the exact-agreement pairs."""
+    import automatedreclin_spark.models.hit_miss as hm
+    import automatedreclin_spark.models.mec as mec_mod
+
+    monkeypatch.setattr(hm, "MAX_B_ROWS_FOR_EM", 3)
+    A, B, true = data
+    res = mec_mod.mec(A, B, variables=["name", "surname"],
+                      methods={"name": "hit_miss", "surname": "hit_miss"},
+                      true_matches=true)
+    m = res.M_est.orderBy("a").toPandas()
+    assert list(m["a"]) == [1, 2, 3, 4]
+    assert list(m["b"]) == [1, 2, 3, 4]
+    assert m["a"].is_unique and m["b"].is_unique

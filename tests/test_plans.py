@@ -85,3 +85,24 @@ def test_no_cartesian_anywhere_in_registry(spark):
             continue
         plan = _plan(fn(spark, SF))
         assert "CartesianProduct" not in plan, name
+
+
+def test_ann_cosine_broadcasts_query_side(spark):
+    """ann_cosine_topk: the tiny query side must be explicitly broadcast —
+    the corpus then streams through a BroadcastNestedLoopJoin with no
+    shuffle, the only brute-force plan that survives a large corpus."""
+    df = QUERIES["ann_cosine_topk"](spark, SF)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_score_ratio_fixed_params_stays_jvm_side(spark):
+    """Fixed-param density-ratio scoring (A5/A6/A9) is pure Catalyst: no
+    Python evaluation nodes in the plan, and the customer scan is pruned to
+    the columns the record sets actually use."""
+    df = QUERIES["score_ratio_fixed_params"](spark, SF)
+    plan = _plan(df)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "c_acctbal" not in plan      # column pruning reaches the scan
+    assert "CartesianProduct" not in plan
