@@ -264,8 +264,10 @@ def q_mec_binary_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("a").alias("da"),
         F.count_distinct("b").alias("db"),
     ).collect()[0]
+    # subset check against the fit's own persisted Ω (res.scored) — re-
+    # expanding the block join here would redo the pair explosion
     outside = M.select("a", "b").join(
-        pairs.select("a", "b"), ["a", "b"], "left_anti"
+        res.scored.select("a", "b"), ["a", "b"], "left_anti"
     ).count()
     n_a, n_b = A.count(), B.count()
     cnt = int(agg["cnt"])

@@ -376,7 +376,7 @@ def blocked_mec(
         # (f) new M by ascending-s greedy (T2).
         M_new = select_mec_pairs(
             scored, float(n_M_est), block_col="block", ascending=True,
-            invalid_to_never=True,
+            invalid_to_never=True, keys_only=True,
         ).select("a", "b").persist(StorageLevel.MEMORY_AND_DISK)
         n_M_new = M_new.count()
         n_U_new = N - n_M_new

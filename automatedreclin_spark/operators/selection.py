@@ -109,12 +109,15 @@ def select_mec_pairs(
     ascending: bool = False,
     invalid_to_never: bool = False,
     ratio_col: str = "ratio",
+    keys_only: bool = False,
 ) -> DataFrame:
     """Greedy one-to-one selection returning the selected pairs as a DataFrame
     with the same schema as ``omega`` (filtered).
 
     ``omega`` must carry columns (a, b, <ratio_col>) and, when ``block_col``
-    is given, the disjoint block id.
+    is given, the disjoint block id. ``keys_only=True`` skips rejoining the
+    non-key columns (callers that consume only (a, b[, block, ratio]) — e.g.
+    the inverted blocked loop — avoid one semi join per iteration).
     """
     n_target = _round_half_even(n_M)
     if n_target <= 0:
@@ -146,7 +149,9 @@ def select_mec_pairs(
         sort_key = F.when(bad, F.lit(never)).otherwise(key)
         order_cols = [sort_key.asc() if ascending else sort_key.desc(), "a", "b"]
         selected = survivors.orderBy(*order_cols).limit(n_target)
-        extra = [c for c in work.columns if c not in (block_col, "a", "b", "ratio")]
+        extra = [] if keys_only else [
+            c for c in work.columns if c not in (block_col, "a", "b", "ratio")
+        ]
         if extra:
             # Rejoin the full row for callers that aggregate gammas over M.
             # The selected key set is ≤ n_target: broadcast it when small so
