@@ -305,6 +305,17 @@ def mec(
     # recompute with the post-selection count.
     n_M_count_for_g = n_M_count
 
+    # M-side sufficient statistics (constant column set across iterations) —
+    # fused with the selection-size count into ONE aggregation job per
+    # iteration over the persisted selection.
+    m_aggs: list = [F.count(F.lit(1)).alias("_n_sel")]
+    if b_gammas:
+        m_aggs += fam.binary_fit_aggs(b_gammas, "theta")
+    if cpar_gammas:
+        m_aggs += fam.cpar_fit_aggs(cpar_gammas, "M")
+    if hm_gammas:
+        m_aggs += fam.binary_fit_aggs(hm_gammas, "hm_theta")
+
     while n_iter < max_iter:
         n_iter += 1
         # (a) posterior ĝ with n_M = |M_idx| from the previous selection,
@@ -319,7 +330,8 @@ def mec(
         M_selected = select_mec_pairs(
             scored, n_M, duplicates_in_A=duplicates_in_A, block_col=block_col
         ).persist(StorageLevel.MEMORY_AND_DISK)
-        n_M_count = M_selected.count()
+        m_row = M_selected.agg(*m_aggs).collect()[0].asDict()
+        n_M_count = int(m_row["_n_sel"])
         # The previous selection is no longer referenced once the new one is
         # materialized — drop its cached blocks so long fits (max_iter ≫ 10)
         # don't accumulate one persisted DataFrame per iteration.
@@ -346,16 +358,8 @@ def mec(
                     break
 
         # (d) re-estimate M-side parameters from the current selection —
-        #     one aggregation pass over M (filtered Ω, no collect of rows).
-        m_aggs: list = []
-        if b_gammas:
-            m_aggs += fam.binary_fit_aggs(b_gammas, "theta")
-        if cpar_gammas:
-            m_aggs += fam.cpar_fit_aggs(cpar_gammas, "M")
-        if hm_gammas:
-            m_aggs += fam.binary_fit_aggs(hm_gammas, "hm_theta")
-        m_row = M_selected.agg(*m_aggs).collect()[0].asDict() if m_aggs else {}
-
+        #     the sufficient stats were already fused into the selection-size
+        #     aggregation at (b); just read them out.
         if b_gammas:
             theta_b_old = list(theta_b)
             theta_b = [float(m_row[f"theta_{g}"]) for g in b_gammas]

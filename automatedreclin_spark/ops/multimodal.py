@@ -1,11 +1,14 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
-The Spark-side plumbing is real and tested — schema, partition-friendly
-batching, Arrow-batched ``mapInPandas`` UDF signatures, output shapes. The
-actual codec work is stubbed: this container has no image/audio libraries, so
-decoders are resolved behind an import-try with a deterministic fake fallback
-(clearly marked). Swapping in Pillow/torchaudio/PyAV is a one-function change
-per modality.
+Decode resolution order per modality (functions/codecs.py):
+
+- image: REAL stdlib PNG decoder (zlib inflate + scanline unfiltering — no
+  external libs needed) → Pillow if installed → deterministic fake for
+  other formats (clearly marked; this container has no image libraries).
+- audio: REAL stdlib WAV/PCM decoder (``wave`` module) → deterministic
+  byte-stream interpretation for other codecs.
+- video: deterministic fake only (no pure-stdlib codec exists for any
+  mainstream video format); the sampling arithmetic and fan-out are real.
 
 Media table schema (the ``binary`` + typed-metadata convention):
     media(media_id long, kind string, content binary,
@@ -23,6 +26,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from automatedreclin_spark.functions import codecs
 
 MEDIA_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType()),
@@ -58,26 +63,66 @@ def _fake_decode(content: bytes, h: int, w: int, c: int) -> np.ndarray:
     return rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
 
 
+def decode_image(content: bytes, meta: dict, fallback_size: int = 32) -> np.ndarray:
+    """Decode image bytes to (H, W, C) uint8.
+
+    PNG bytes take the REAL stdlib decoder; Pillow handles other formats when
+    installed; anything else falls back to the deterministic fake sized from
+    the metadata (marked — feature values for non-PNG content without Pillow
+    are synthetic)."""
+    content = bytes(content or b"")
+    if codecs.is_png(content):
+        try:
+            return codecs.decode_png(content)
+        except ValueError:
+            pass  # exotic PNG variant → fall through
+    if HAS_PIL:  # pragma: no cover - PIL absent in this container
+        import io
+
+        from PIL import Image
+
+        img = np.asarray(Image.open(io.BytesIO(content)).convert("RGB"))
+        return img if img.ndim == 3 else img[:, :, None]
+    h = int(meta.get("height") or fallback_size) or fallback_size
+    w = int(meta.get("width") or fallback_size) or fallback_size
+    c = int(meta.get("channels") or 3) or 3
+    return _fake_decode(content, h, w, c)
+
+
 def synth_media(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFrame:
-    """Deterministic synthetic media table for tests."""
+    """Deterministic synthetic media table for tests. Image rows carry REAL
+    PNG bytes and audio rows REAL PCM16 WAV bytes (functions/codecs.py
+    encoders), so the feature operators exercise the real decode paths;
+    video content stays opaque bytes (fake-decoded downstream)."""
     rng = np.random.default_rng(seed)
     rows = []
     for i in range(n):
         kind = ["image", "audio", "video"][i % 3]
-        content = bytes(rng.integers(0, 256, size=int(rng.integers(128, 1024)), dtype=np.uint8))
-        rows.append({
-            "media_id": i,
-            "kind": kind,
-            "content": content,
-            "meta": {
-                "width": int(rng.integers(16, 64)) if kind != "audio" else 0,
-                "height": int(rng.integers(16, 64)) if kind != "audio" else 0,
-                "channels": 3 if kind != "audio" else 1,
-                "sample_rate": 16000 if kind == "audio" else 0,
-                "duration_ms": int(rng.integers(1000, 60000)) if kind != "image" else 0,
-                "codec": {"image": "png", "audio": "pcm16", "video": "h264"}[kind],
-            },
-        })
+        if kind == "image":
+            h, w = int(rng.integers(16, 64)), int(rng.integers(16, 64))
+            pixels = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            content = codecs.encode_png(pixels)
+            meta = {"width": w, "height": h, "channels": 3, "sample_rate": 0,
+                    "duration_ms": 0, "codec": "png"}
+        elif kind == "audio":
+            dur_ms = int(rng.integers(1000, 60000))
+            t = np.arange(int(16000 * dur_ms / 1000) % 48000 + 1600) / 16000.0
+            wave_f = float(rng.uniform(100, 1000))
+            samples = 0.5 * np.sin(2 * np.pi * wave_f * t) \
+                + 0.05 * rng.standard_normal(len(t))
+            content = codecs.encode_wav(samples, 16000)
+            meta = {"width": 0, "height": 0, "channels": 1,
+                    "sample_rate": 16000, "duration_ms": dur_ms,
+                    "codec": "pcm16"}
+        else:
+            content = bytes(rng.integers(0, 256, size=int(rng.integers(128, 1024)),
+                                         dtype=np.uint8))
+            meta = {"width": int(rng.integers(16, 64)),
+                    "height": int(rng.integers(16, 64)), "channels": 3,
+                    "sample_rate": 0,
+                    "duration_ms": int(rng.integers(1000, 60000)),
+                    "codec": "h264"}
+        rows.append({"media_id": i, "kind": kind, "content": content, "meta": meta})
     return spark.createDataFrame(pd.DataFrame(rows), schema=MEDIA_SCHEMA)
 
 
@@ -99,13 +144,9 @@ def image_features(media: DataFrame, resize_to: int = 32) -> DataFrame:
         for pdf in batches:
             out = []
             for row in pdf.itertuples():
-                meta = row.meta
-                h = int(meta["height"] or resize_to) or resize_to
-                w = int(meta["width"] or resize_to) or resize_to
-                c = int(meta["channels"] or 3) or 3
-                if HAS_PIL:  # pragma: no cover
-                    raise NotImplementedError("real codec path: wire PIL here")
-                img = _fake_decode(bytes(row.content), h, w, c)
+                img = decode_image(bytes(row.content), dict(row.meta),
+                                   fallback_size=resize_to)
+                h, w = img.shape[0], img.shape[1]
                 # nearest-neighbor resize to resize_to×resize_to
                 yi = (np.arange(resize_to) * h // resize_to)
                 xi = (np.arange(resize_to) * w // resize_to)
@@ -158,14 +199,20 @@ AUDIO_FEATURES_SCHEMA = "media_id long, n_samples long, rms double, zero_crossin
 
 
 def audio_features(media: DataFrame) -> DataFrame:
-    """PCM-ish stats over the (stub-decoded) sample stream."""
+    """Sample-stream stats (RMS, zero crossings). WAV content takes the REAL
+    stdlib PCM decoder; other codecs use the deterministic raw-byte
+    interpretation (marked fallback)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for row in pdf.itertuples():
-                raw = np.frombuffer(bytes(row.content), dtype=np.uint8).astype(np.float64)
-                x = (raw - 127.5) / 127.5
+                content = bytes(row.content)
+                if codecs.is_wav(content):
+                    x, _rate = codecs.decode_wav(content)
+                else:
+                    raw = np.frombuffer(content, dtype=np.uint8).astype(np.float64)
+                    x = (raw - 127.5) / 127.5
                 zc = int(((x[:-1] * x[1:]) < 0).sum())
                 out.append({
                     "media_id": row.media_id, "n_samples": len(x),
