@@ -265,12 +265,15 @@ def q_mec_binary_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("b").alias("db"),
     ).collect()[0]
     # subset check against the fit's own persisted Ω (res.scored) — re-
-    # expanding the block join here would redo the pair explosion
-    outside = M.select("a", "b").join(
-        res.scored.select("a", "b"), ["a", "b"], "left_anti"
-    ).count()
-    n_a, n_b = A.count(), B.count()
+    # expanding the block join would redo the pair explosion, and an
+    # anti-join with Ω on the RIGHT would hash 4M rows; instead count the
+    # members via a broadcast semi join (M is tiny) and subtract.
     cnt = int(agg["cnt"])
+    inside = res.scored.select("a", "b").join(
+        F.broadcast(M.select("a", "b")), ["a", "b"], "left_semi"
+    ).count()
+    outside = cnt - inside
+    n_a, n_b = A.count(), B.count()
     return _invariant_df(spark, [
         ("m_est_size_minus_round_n_m", float(cnt - round(res.n_M_est))),
         ("one_to_one_a_violations", float(cnt - int(agg["da"]))),

@@ -84,13 +84,28 @@ def _estimate_side(
     if cpar_gammas:
         aggs += fam.cpar_fit_aggs(cpar_gammas, "s")
     row = df.agg(*aggs).collect()[0].asDict()
+    return _side_params_from_row(row, b_gammas, cpar_gammas, side, fallback,
+                                 context)
 
+
+def _side_params_from_row(
+    row: dict,
+    b_gammas: list[str],
+    cpar_gammas: list[str],
+    side: str,
+    fallback: dict[str, list[float]] | None,
+    context: str = "blocked_mec()",
+    suffix: str = "",
+) -> dict[str, Any]:
+    """Parameter extraction + reference fallback chain from an aggregate row;
+    ``suffix`` addresses null-masked gamma projections (fused two-side agg)."""
     out: dict[str, Any] = {}
     if b_gammas:
-        out["rate"] = [float(row[f"rate_{g}"]) for g in b_gammas]
+        out["rate"] = [float(row[f"rate_{g}{suffix}"]) for g in b_gammas]
     if cpar_gammas:
         p_0, alpha, beta = [], [], []
-        for i, g in enumerate(cpar_gammas):
+        for i, gb in enumerate(cpar_gammas):
+            g = f"{gb}{suffix}"
             p_0.append(float(row[f"s_p0_{g}"]))
             n_pos = int(row[f"s_npos_{g}"] or 0)
             est_a = est_b = float("nan")
@@ -113,7 +128,7 @@ def _estimate_side(
                     raise ValueError(
                         f"{context} cannot estimate "
                         f"{'match' if side == 'M' else 'nonmatch'}-side Gamma "
-                        f"parameters for `{g}`; at least two positive continuous "
+                        f"parameters for `{gb}`; at least two positive continuous "
                         "comparisons or finite fallback parameters are required."
                     )
                 est_a, est_b = fb_a, fb_b
@@ -123,6 +138,54 @@ def _estimate_side(
         out["alpha"] = alpha
         out["beta"] = beta
     return out
+
+
+def _estimate_sides_fused(
+    scored: DataFrame,
+    M: DataFrame,
+    n_M_count: int,
+    b_gammas: list[str],
+    cpar_gammas: list[str],
+    m_fallback: dict[str, list[float]] | None,
+    u_fallback: dict[str, list[float]] | None,
+    context: str = "blocked_mec()",
+) -> tuple[dict[str, Any], dict[str, Any]]:
+    """M-side and full-U-side sufficient statistics in ONE pass over Ω
+    (the default no-alpha-drop path): a membership flag (broadcast when the
+    match set is small) plus null-masked gamma projections feed conditional
+    aggregations — every fit agg is null-ignoring, so masking ≡ filtering.
+    Replaces one semi-join-agg plus one anti-join-agg (two full passes over
+    Ω) per iteration. When M is empty the reference fits the match side on
+    all of Ω and U = Ω too (internals.R:1516-1518)."""
+    gammas = list(dict.fromkeys(b_gammas + cpar_gammas))
+    if n_M_count:
+        keys = M.select("a", "b").withColumn("_in_m", F.lit(True))
+        if n_M_count <= 5_000_000:
+            keys = F.broadcast(keys)
+        flagged = scored.join(keys, ["a", "b"], "left")
+        m_mask = F.col("_in_m").isNotNull()
+        u_mask = F.col("_in_m").isNull()
+    else:
+        flagged = scored
+        m_mask = F.lit(True)
+        u_mask = F.lit(True)
+    flagged = flagged.withColumns({
+        **{f"{g}__m": F.when(m_mask, F.col(g)) for g in gammas},
+        **{f"{g}__u": F.when(u_mask, F.col(g)) for g in gammas},
+    })
+    aggs: list = []
+    if b_gammas:
+        aggs += fam.binary_fit_aggs([f"{g}__m" for g in b_gammas], "rate")
+        aggs += fam.binary_fit_aggs([f"{g}__u" for g in b_gammas], "rate")
+    if cpar_gammas:
+        aggs += fam.cpar_fit_aggs([f"{g}__m" for g in cpar_gammas], "s")
+        aggs += fam.cpar_fit_aggs([f"{g}__u" for g in cpar_gammas], "s")
+    row = flagged.agg(*aggs).collect()[0].asDict()
+    match_params = _side_params_from_row(
+        row, b_gammas, cpar_gammas, "M", m_fallback, context, suffix="__m")
+    nonmatch_params = _side_params_from_row(
+        row, b_gammas, cpar_gammas, "U", u_fallback, context, suffix="__u")
+    return match_params, nonmatch_params
 
 
 def _q_est_expr(n_U: float, N: float):
@@ -275,17 +338,15 @@ def blocked_mec(
     match_params = nonmatch_params = None
 
     while True:
-        # (a) match-side params from current M (full Ω if M empty —
-        #     internals.R:1516-1518).
-        m_df = scored.join(M, ["a", "b"], "left_semi") if n_M_count else scored
+        # (a)+(c) side parameters. Fallbacks per the reference chain.
         m_fallback = (
             {"alpha": prev_match["alpha"], "beta": prev_match["beta"]}
             if prev_match and "alpha" in prev_match else start_fallback
         )
-        match_params = _estimate_side(m_df, b_gammas, cpar_gammas, "M", m_fallback)
-
-        # (b) U-fit subset via alpha drop (T6).
-        U = scored.join(M, ["a", "b"], "left_anti")
+        u_fallback = (
+            {"alpha": prev_nonmatch["alpha"], "beta": prev_nonmatch["beta"]}
+            if prev_nonmatch and "alpha" in prev_nonmatch else None
+        )
         requested_drop = math.floor(alpha * n_U_count)
         reason = None
         if it == 1:
@@ -294,7 +355,24 @@ def blocked_mec(
             reason = "alpha_zero"
         elif requested_drop == 0:
             reason = "requested_drop_zero"
-        if reason is None:
+        if reason is not None:
+            # No alpha drop → U_fit = full U: both sides in ONE pass over Ω.
+            match_params, nonmatch_params = _estimate_sides_fused(
+                scored, M, n_M_count, b_gammas, cpar_gammas,
+                m_fallback, u_fallback,
+            )
+            n_U_fit = n_U_count
+            diagnostics.append({
+                "iter": it, "n_U_current": n_U_count, "alpha": alpha,
+                "requested_n_drop": requested_drop, "n_U_fit": n_U_fit,
+                "alpha_applied": False, "reason": reason,
+            })
+        else:
+            # alpha U-drop path (T6): match side from M (full Ω if M empty —
+            # internals.R:1516-1518), then the ranked-retention U fit.
+            m_df = scored.join(M, ["a", "b"], "left_semi") if n_M_count else scored
+            match_params = _estimate_side(m_df, b_gammas, cpar_gammas, "M", m_fallback)
+            U = scored.join(M, ["a", "b"], "left_anti")
             n_keep = n_U_count - requested_drop
             score_col = "q_est" if "q_est" in scored.columns else "ratio"
             w = Window.orderBy(
@@ -322,21 +400,13 @@ def blocked_mec(
                 U_fit = U
                 n_U_fit = n_U_count
                 reason = "minimum_sample_full_base"
-        else:
-            U_fit = U
-            n_U_fit = n_U_count
-        diagnostics.append({
-            "iter": it, "n_U_current": n_U_count, "alpha": alpha,
-            "requested_n_drop": requested_drop, "n_U_fit": n_U_fit,
-            "alpha_applied": reason == "alpha_reliability_drop", "reason": reason,
-        })
-
-        # (c) nonmatch-side params from S_U.
-        u_fallback = (
-            {"alpha": prev_nonmatch["alpha"], "beta": prev_nonmatch["beta"]}
-            if prev_nonmatch and "alpha" in prev_nonmatch else None
-        )
-        nonmatch_params = _estimate_side(U_fit, b_gammas, cpar_gammas, "U", u_fallback)
+            diagnostics.append({
+                "iter": it, "n_U_current": n_U_count, "alpha": alpha,
+                "requested_n_drop": requested_drop, "n_U_fit": n_U_fit,
+                "alpha_applied": reason == "alpha_reliability_drop", "reason": reason,
+            })
+            # nonmatch-side params from S_U.
+            nonmatch_params = _estimate_side(U_fit, b_gammas, cpar_gammas, "U", u_fallback)
 
         # (d) score s = u/m with NA/neg → +Inf guard
         #     (score_inverted_mec_ratio internals.R:1653-1686).

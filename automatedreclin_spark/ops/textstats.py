@@ -1,6 +1,6 @@
 """Text analysis operators for corpus curation: language ID, quality scoring,
-token counting, document fingerprinting. All pure Catalyst except language ID
-(vectorized pandas UDF with a driver-built n-gram profile table).
+token counting, document fingerprinting. ALL pure Catalyst (whole-stage
+codegen) — no Python in any hot path.
 """
 
 from __future__ import annotations
@@ -85,35 +85,54 @@ def quality_score(df: DataFrame, id_col: str, text_col: str,
 
 def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Heuristic language ID: stopword-marker hit counts per language, CJK
-    codepoint share for zh. Vectorized pandas UDF (pure pandas string ops),
-    profiles built on the driver. Returns (id, lang_pred, lang_conf)."""
-    markers = {k: set(v) for k, v in _LANG_MARKERS.items()}
+    codepoint share for zh. PURE CATALYST (whole-stage codegen — no Python
+    in the hot path): marker hits via ``filter(tokens, array_contains)``,
+    argmax via a chained CASE with fixed tie-break order (en > de > fr > es,
+    mirroring Python dict-order max()). Returns (id, lang_pred, lang_conf).
+    The DuckDB oracle in entry_queries mirrors this expression exactly."""
+    t = F.col(text_col)
+    n = F.length(t)
+    cjk = F.length(F.regexp_replace(t, "[^一-鿿]", ""))
+    toks = F.when(
+        F.length(F.trim(t)) == 0, F.array().cast("array<string>")
+    ).otherwise(F.split(F.trim(F.lower(t)), r"\s+"))
+    langs = list(_LANG_MARKERS)
+    score_cols = {
+        lang: (
+            F.size(F.filter(toks, lambda x: x.isin(_LANG_MARKERS[lang])))
+            .cast("double") / F.greatest(F.size(toks), F.lit(1))
+        )
+        for lang in langs
+    }
+    base = df.select(
+        F.col(id_col).alias("id"), n.alias("_n"), cjk.alias("_cjk"),
+        *[score_cols[lang].alias(f"_s_{lang}") for lang in langs],
+    )
+    s = {lang: F.col(f"_s_{lang}") for lang in langs}
+    best = F.greatest(*s.values())
+    # argmax with first-wins tie-break in _LANG_MARKERS order
+    from functools import reduce
 
-    @pandas_udf("struct<lang_pred: string, lang_conf: double>")
-    def _langid(text: pd.Series) -> pd.DataFrame:
-        out_lang, out_conf = [], []
-        for s in text:
-            if s is None or not s.strip():
-                out_lang.append("und"); out_conf.append(0.0)
-                continue
-            cjk = sum(1 for ch in s if "一" <= ch <= "鿿")
-            if cjk / max(1, len(s)) > 0.2:
-                out_lang.append("zh"); out_conf.append(round(cjk / len(s), 6))
-                continue
-            toks = s.lower().split()
-            scores = {
-                lang: sum(1 for t in toks if t in mk) / max(1, len(toks))
-                for lang, mk in markers.items()
-            }
-            best = max(scores, key=scores.get)
-            if scores[best] == 0.0:
-                out_lang.append("und"); out_conf.append(0.0)
-            else:
-                out_lang.append(best); out_conf.append(round(scores[best], 6))
-        return pd.DataFrame({"lang_pred": out_lang, "lang_conf": out_conf})
-
-    res = df.select(F.col(id_col).alias("id"), _langid(F.col(text_col)).alias("r"))
-    return res.select("id", "r.lang_pred", "r.lang_conf")
+    pred_chain = F.lit(langs[-1])
+    for lang in reversed(langs[:-1]):
+        later = [s[lg] for lg in langs[langs.index(lang) + 1:]]
+        ge_all_later = reduce(lambda acc, lt: acc & (s[lang] >= lt),
+                              later, F.lit(True))
+        pred_chain = F.when(ge_all_later, F.lit(lang)).otherwise(pred_chain)
+    is_zh = (F.col("_cjk").cast("double") / F.greatest("_n", F.lit(1))) > 0.2
+    lang_pred = (
+        F.when(F.col("_n") == 0, "und")
+        .when(is_zh, "zh")
+        .when(best == 0, "und")
+        .otherwise(pred_chain)
+    )
+    lang_conf = (
+        F.when(F.col("_n") == 0, 0.0)
+        .when(is_zh, F.round(F.col("_cjk").cast("double") / F.col("_n"), 6))
+        .otherwise(F.round(best, 6))
+    )
+    return base.select("id", lang_pred.alias("lang_pred"),
+                       lang_conf.alias("lang_conf"))
 
 
 def fingerprint(df: DataFrame, id_col: str, text_col: str,
