@@ -178,24 +178,38 @@ def simhash_udf():
 
     @pandas_udf("long")
     def _simhash(text: pd.Series) -> pd.Series:
-        out = []
         shifts = np.arange(64, dtype=np.uint64)
-        for s in text:
-            if s is None:
-                out.append(0)
+        # Batch-level token vocabulary: real corpora share most tokens across
+        # documents, so md5 runs once per DISTINCT token in the Arrow batch
+        # (not once per (doc, token)), and the ±1 bit votes become one numpy
+        # gather+sum per document. Bit-identical to the per-row loop.
+        toksets = [set(s.lower().split()) if s is not None else set()
+                   for s in text]
+        vocab: dict[str, int] = {}
+        for ts in toksets:
+            for t in ts:
+                if t not in vocab:
+                    vocab[t] = len(vocab)
+        if vocab:
+            hs = np.fromiter(
+                (int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
+                 for t in vocab),
+                dtype=np.uint64, count=len(vocab),
+            )
+            votes = (((hs[:, None] >> shifts) & np.uint64(1))
+                     .astype(np.int8) * 2 - 1)          # (V, 64) in {-1, +1}
+        out = np.zeros(len(toksets), dtype=np.int64)
+        pow2 = (np.uint64(1) << shifts)
+        for r, ts in enumerate(toksets):
+            if not ts:
                 continue
-            toks = set(s.lower().split())
-            acc = np.zeros(64, dtype=np.int64)
-            for tok in toks:
-                h = np.uint64(int.from_bytes(
-                    hashlib.md5(tok.encode()).digest()[:8], "big"
-                ))
-                acc += ((h >> shifts) & np.uint64(1)).astype(np.int64) * 2 - 1
-            bits = (acc > 0).astype(object)
-            val = int(sum(int(b) << j for j, b in enumerate(bits)))
+            rows = np.fromiter((vocab[t] for t in ts), dtype=np.int64,
+                               count=len(ts))
+            acc = votes[rows].sum(axis=0, dtype=np.int64)
+            val = int(((acc > 0).astype(np.uint64) * pow2).sum(dtype=np.uint64))
             if val >= 1 << 63:
                 val -= 1 << 64
-            out.append(val)
+            out[r] = val
         return pd.Series(out, dtype="int64")
 
     return _simhash
