@@ -20,6 +20,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
+from pyspark.storagelevel import StorageLevel
 
 from automatedreclin_spark.operators.blocking import MERSENNE_61, token_hash_expr
 from automatedreclin_spark.operators.util import ensure_parallelism
@@ -105,6 +106,10 @@ def minhash_lsh_pairs(
     (id_a < id_b). The band bucket join is the ONLY shuffle; candidate count
     is controlled by band width (rows-per-band ↑ → precision ↑)."""
     rows_per_band = n_hashes // bands
+    # The bucket join is a SELF-join: without materialization Spark computes
+    # the whole signature subplan (tokenize + 16 minhash transforms) once per
+    # side. Signatures are tiny (id + n_hashes longs per doc) — persist them.
+    signatures = signatures.persist(StorageLevel.MEMORY_AND_DISK)
     band_structs = []
     for b in range(bands):
         cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]

@@ -106,3 +106,10 @@ def test_score_ratio_fixed_params_stays_jvm_side(spark):
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "c_acctbal" not in plan      # column pruning reaches the scan
     assert "CartesianProduct" not in plan
+
+
+def test_language_id_stays_jvm_side(spark):
+    """language_id is pure Catalyst since round 2 — no Python eval nodes."""
+    df = QUERIES["language_id"](spark, SF)
+    plan = _plan(df)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
