@@ -216,7 +216,13 @@ def main() -> None:
         "Generated by `python scripts/bench_scaling.py`.",
         "",
     ]
-    bench_md.write_text("\n".join(lines))
+    # Preserve hand-maintained sections (stability table, heavy anchor,
+    # spark-submit evidence) below the marker; only the auto part regenerates.
+    marker = "<!-- manual sections below: preserved across regeneration -->"
+    manual = ""
+    if bench_md.exists() and marker in bench_md.read_text():
+        manual = bench_md.read_text().split(marker, 1)[1]
+    bench_md.write_text("\n".join(lines) + f"\n{marker}\n" + manual)
     print(f"wrote {bench_md}")
 
 
