@@ -113,3 +113,28 @@ def test_language_id_stays_jvm_side(spark):
     df = QUERIES["language_id"](spark, SF)
     plan = _plan(df)
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_multiple_pandas_udf_gammas_fuse_into_one_arrow_pass(spark):
+    """SURVEY §4.2: K pandas-UDF comparators must not cost K Arrow round
+    trips. Spark batches adjacent pandas UDFs into a single ArrowEvalPython
+    node (one Arrow transfer per batch for ALL gamma UDFs) — gate it so a
+    refactor that breaks adjacency (e.g. interleaving a JVM projection
+    between UDF withColumns) shows up here."""
+    import pandas as pd
+
+    from automatedreclin_spark.functions.comparators import jarowinkler_complement
+    from automatedreclin_spark.operators.comparison import comparison_vectors
+
+    A = spark.createDataFrame(pd.DataFrame(
+        {"a": [1, 2], "name": ["ab", "cd"], "surname": ["x", "y"]}))
+    B = spark.createDataFrame(pd.DataFrame(
+        {"b": [1, 2], "name": ["ab", "ce"], "surname": ["x", "z"]}))
+    cv = comparison_vectors(
+        A, B, ["name", "surname"],
+        comparators={"name": jarowinkler_complement(),
+                     "surname": jarowinkler_complement()},
+        check_finite=False,
+    )
+    plan = _plan(cv.omega)
+    assert plan.count("ArrowEvalPython") == 1

@@ -192,3 +192,22 @@ def test_kliep_control_scale_roundtrip():
         r_den = m.predict(x_den)
         assert np.isfinite(r_den).all() and (r_den >= 0).all()
         assert float(r_den.mean()) == pytest.approx(1.0, rel=1e-6)
+
+
+def test_kliep_control_plumbs_through_train(tables):
+    """kliep_control reaches the KLIEP fits inside train_rec_lin: with
+    reference defaults (nfold=2, numerator centers) the cnonpar path still
+    reproduces the golden hurdle masses and prediction decisions."""
+    from automatedreclin_spark.models.kliep import KliepControl
+
+    A, B, matches, newA, newB, _ = tables
+    comp = {"name": jarowinkler_complement(), "surname": jarowinkler_complement()}
+    meth = {"name": "continuous_nonparametric", "surname": "continuous_nonparametric"}
+    model = train_rec_lin(A, B, matches, variables=["name", "surname"],
+                          comparators=comp, methods=meth,
+                          kliep_control=KliepControl(nfold=2, centers="numerator"))
+    p = model.cnonpar_params
+    assert list(p["p_0_M_cnonpar"]) == pytest.approx([0.5, 0.5], abs=1e-12)
+    pred = predict_rec_lin(model, newA, newB)
+    m = pred.M_est.orderBy("a").toPandas()
+    assert {(r.a, r.b) for r in m.itertuples()} == {(1, 1), (2, 2), (3, 3)}
