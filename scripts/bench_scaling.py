@@ -170,8 +170,8 @@ def main() -> None:
         "(task instructions): `local[8]` vs `local[32]`.",
         "",
         "Workload: within-block pair expansion (J4) + comparison vectors",
-        "(Jaro-complement pandas UDF, binary equality, native levenshtein)",
-        "over coarse blocks of the customer-derived record sets — the",
+        "(Jaro-complement pandas UDF + binary equality) over coarse blocks",
+        "of the customer-derived record sets — the",
         "north-rule scoring stage, sized so compute (not fixed overhead)",
         "dominates. Timing excludes session startup and codegen warmup",
         "(best of 2 after a warm run, in-JVM).",
