@@ -739,14 +739,14 @@ WITH base AS (
   SELECT id, cjk, n, {marker_scores} FROM base
 )
 SELECT id,
-  CASE WHEN n = 0 THEN 'und'
+  CASE WHEN n IS NULL OR n = 0 THEN 'und'
        WHEN cjk::DOUBLE / greatest(n, 1) > 0.2 THEN 'zh'
        WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
        WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
        WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
        WHEN s_fr >= s_es THEN 'fr'
        ELSE 'es' END AS lang_pred,
-  CASE WHEN n = 0 THEN 0.0
+  CASE WHEN n IS NULL OR n = 0 THEN 0.0
        WHEN cjk::DOUBLE / greatest(n, 1) > 0.2 THEN ROUND(cjk::DOUBLE / n, 6)
        ELSE ROUND(greatest(s_en, s_de, s_fr, s_es), 6) END AS lang_conf
 FROM scored

@@ -26,6 +26,13 @@ from pyspark.sql import functions as F
 MAX_B_ROWS_FOR_EM = 5_000_000
 
 
+def _str_value(v: str):
+    """Value coded as string with NULL → 'None' — the same sentinel pandas
+    ``astype(str)`` produces in the numpy path, so domains sort cleanly and
+    null join keys still hit the value tables in the distributed EM."""
+    return F.coalesce(F.col(v).cast("string"), F.lit("None"))
+
+
 @dataclass
 class HitMissValueModel:
     variable: str
@@ -52,7 +59,7 @@ def fit_value_models(
     b_pdf = B.select(*variables).toPandas()
     for v in variables:
         a_counts = (
-            A.groupBy(F.col(v).cast("string").alias("value"))
+            A.groupBy(_str_value(v).alias("value"))
             .agg(F.count(F.lit(1)).alias("cnt"))
             .toPandas()
         )
@@ -154,12 +161,12 @@ def fit_value_domains(A: DataFrame, B: DataFrame, variables: list[str]):
     domains: dict[str, pd.DataFrame] = {}
     for v in variables:
         a_counts = (
-            A.groupBy(F.col(v).cast("string").alias("value"))
+            A.groupBy(_str_value(v).alias("value"))
             .agg(F.count(F.lit(1)).alias("cnt"))
             .toPandas()
         )
         b_vals = (
-            B.select(F.col(v).cast("string").alias("value")).distinct().toPandas()
+            B.select(_str_value(v).alias("value")).distinct().toPandas()
         )
         # sorted domain: collect order of a distributed groupBy is partition-
         # dependent, and the EM's random init is assigned positionally
@@ -198,7 +205,7 @@ def hit_miss_em_spark(
         init = rng.uniform(0, 1, len(domains[v]))
         u[v] = init / init.sum()
 
-    base = B.select(*[F.col(v).cast("string").alias(f"z_{v}") for v in variables])
+    base = B.select(*[_str_value(v).alias(f"z_{v}") for v in variables])
     m_prod = F.lit(1.0)
     for v in variables:
         mdf = spark.createDataFrame(

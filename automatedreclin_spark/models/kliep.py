@@ -45,10 +45,14 @@ class KliepControl:
       stride subsample instead of a random one).
     - ``n_centers`` / ``sigmas``: kernel-center budget and explicit sigma
       grid (None → data-driven spread grid).
+
+    ``nfold`` / ``n_centers`` / ``sigmas`` default to None = "inherit the
+    explicit :func:`fit_kliep` keyword argument" — a control that only sets
+    e.g. ``scale`` must not silently override a caller's ``n_centers=50``.
     """
 
-    nfold: int = 5
-    n_centers: int = 100
+    nfold: int | None = None
+    n_centers: int | None = None
     sigmas: list[float] | None = None
     centers: str = "quantile"
     scale: str | None = None
@@ -115,9 +119,10 @@ def fit_kliep(
     allows); pass ``control=KliepControl(nfold=2, centers="numerator")`` for
     reference-default behavior (control_kliep, controls.R:19-25)."""
     if control is not None:
-        n_centers = control.n_centers
+        # None fields inherit the explicit kwargs (set fields win).
+        n_centers = control.n_centers if control.n_centers is not None else n_centers
         sigmas = control.sigmas if control.sigmas is not None else sigmas
-        n_folds = control.nfold
+        n_folds = control.nfold if control.nfold is not None else n_folds
     x_num = np.asarray(x_numerator, dtype=np.float64)
     x_den = np.asarray(x_denominator, dtype=np.float64)
     if len(x_num) < 2 or len(x_den) < 2:

@@ -385,7 +385,9 @@ def mec(
             try:
                 model = fit_kliep_multi(
                     x_num, x_den, seed=seed,
-                    n_folds=(kliep_control.nfold if kliep_control else 5),
+                    n_folds=(kliep_control.nfold
+                             if kliep_control and kliep_control.nfold is not None
+                             else 5),
                 )
                 cnonpar_expr = kliep_multi_udf(model, cnonpar_gammas)
                 kliep_models = {"__multi__": model}

@@ -19,6 +19,9 @@ Media table schema (the ``binary`` + typed-metadata convention):
 from __future__ import annotations
 
 import hashlib
+import struct
+import wave
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -74,8 +77,9 @@ def decode_image(content: bytes, meta: dict, fallback_size: int = 32) -> np.ndar
     if codecs.is_png(content):
         try:
             return codecs.decode_png(content)
-        except ValueError:
-            pass  # exotic PNG variant → fall through
+        except (ValueError, zlib.error, struct.error, IndexError):
+            pass  # exotic/corrupt PNG (bad deflate stream, truncated
+            # chunks) → fall through to the fake, don't kill the task
     if HAS_PIL:  # pragma: no cover - PIL absent in this container
         import io
 
@@ -208,9 +212,13 @@ def audio_features(media: DataFrame) -> DataFrame:
             out = []
             for row in pdf.itertuples():
                 content = bytes(row.content)
+                x = None
                 if codecs.is_wav(content):
-                    x, _rate = codecs.decode_wav(content)
-                else:
+                    try:
+                        x, _rate = codecs.decode_wav(content)
+                    except (wave.Error, EOFError, ValueError, struct.error):
+                        x = None  # malformed RIFF → raw-byte fallback
+                if x is None:
                     raw = np.frombuffer(content, dtype=np.uint8).astype(np.float64)
                     x = (raw - 127.5) / 127.5
                 zc = int(((x[:-1] * x[1:]) < 0).sum())

@@ -120,14 +120,16 @@ def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
                               later, F.lit(True))
         pred_chain = F.when(ge_all_later, F.lit(lang)).otherwise(pred_chain)
     is_zh = (F.col("_cjk").cast("double") / F.greatest("_n", F.lit(1))) > 0.2
+    # NULL text: length(NULL) is NULL so every WHEN below would fall through
+    # to the CASE tail — guard explicitly to ('und', 0.0), same as empty.
     lang_pred = (
-        F.when(F.col("_n") == 0, "und")
+        F.when(F.col("_n").isNull() | (F.col("_n") == 0), "und")
         .when(is_zh, "zh")
         .when(best == 0, "und")
         .otherwise(pred_chain)
     )
     lang_conf = (
-        F.when(F.col("_n") == 0, 0.0)
+        F.when(F.col("_n").isNull() | (F.col("_n") == 0), 0.0)
         .when(is_zh, F.round(F.col("_cjk").cast("double") / F.col("_n"), 6))
         .otherwise(F.round(best, 6))
     )

@@ -212,3 +212,39 @@ def test_hit_miss_routes_to_spark_em_past_guard(spark, data, monkeypatch):
     assert list(m["a"]) == [1, 2, 3, 4]
     assert list(m["b"]) == [1, 2, 3, 4]
     assert m["a"].is_unique and m["b"].is_unique
+
+
+def test_hit_miss_value_domains_handle_nulls(spark):
+    """NULL key values must not crash fit_value_domains (sorted() cannot
+    compare None with str) and must join the value tables in the distributed
+    EM — both paths code NULL as the string 'None' (the sentinel pandas
+    astype(str) produces in the numpy path)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from automatedreclin_spark.models.hit_miss import (
+        fit_value_domains,
+        fit_value_models,
+        hit_miss_em,
+        hit_miss_em_spark,
+    )
+
+    schema = T.StructType([T.StructField("name", T.StringType())])
+    A = spark.createDataFrame([("ann",), ("bob",), (None,), ("ann",)], schema)
+    B = spark.createDataFrame([("ann",), (None,), ("cid",), (None,)], schema)
+
+    domains, n_A = fit_value_domains(A, B, ["name"])
+    assert "None" in list(domains["name"]["value"])
+    # A has one NULL of 4 rows → m('None') = 0.25 (nulls hit the table)
+    m_none = float(domains["name"].set_index("value").loc["None", "m"])
+    assert abs(m_none - 0.25) < 1e-12
+
+    u_sp = hit_miss_em_spark(B, ["name"], domains, 0.3,
+                             np.random.default_rng(7), max_iter_em=3)
+    assert abs(u_sp["name"].sum() - 1.0) < 1e-9
+
+    # numpy path agrees when fed the same sorted domains
+    models = fit_value_models(A, B, ["name"])
+    dom_np = sorted(models["name"].values)
+    assert dom_np == sorted(domains["name"]["value"])

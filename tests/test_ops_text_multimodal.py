@@ -112,3 +112,62 @@ def test_audio_features(media):
     assert len(out) == media.filter("kind = 'audio'").count()
     assert (out["rms"] > 0).all()
     assert (out["n_samples"] > 0).all()
+
+
+def test_language_id_null_text_matches_oracle(spark):
+    """NULL text must yield ('und', 0.0) — length(NULL) is NULL so every WHEN
+    falls through without an explicit guard — and the DuckDB oracle must
+    agree on the same rows (engines previously diverged: en/-1.0 vs es/NULL)."""
+    import duckdb
+    from pyspark.sql import types as T
+
+    from automatedreclin_spark.entry_queries import _language_id_oracle
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    rows = [(1, None), (2, ""), (3, "   "), (4, "the cat is in the house")]
+    df = spark.createDataFrame(rows, schema=schema)
+    out = (language_id(df, "doc_id", "text")
+           .orderBy("id").toPandas().set_index("id"))
+    assert out.loc[1, "lang_pred"] == "und" and out.loc[1, "lang_conf"] == 0.0
+    assert out.loc[2, "lang_pred"] == "und"
+    assert out.loc[4, "lang_pred"] == "en"
+
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    ora = con.execute(_language_id_oracle() + " ORDER BY id").df().set_index("id")
+    for i in (1, 2, 3, 4):
+        assert ora.loc[i, "lang_pred"] == out.loc[i, "lang_pred"], i
+        assert abs(float(ora.loc[i, "lang_conf"]) - float(out.loc[i, "lang_conf"])) < 1e-9, i
+
+
+def test_corrupt_media_falls_back_not_crash(spark):
+    """A PNG with a valid signature but corrupt deflate stream raises
+    zlib.error inside decode_png; malformed RIFF raises wave.Error in
+    decode_wav — both must take the deterministic fallback, not kill the
+    Spark task."""
+    import numpy as np
+
+    from automatedreclin_spark.functions import codecs
+    from automatedreclin_spark.ops.multimodal import MEDIA_SCHEMA, decode_image
+
+    # valid PNG signature + IHDR, garbage IDAT payload -> zlib.error
+    good = codecs.encode_png(np.zeros((4, 4, 3), dtype=np.uint8))
+    corrupt_png = bytearray(good)
+    idat = bytes(corrupt_png).index(b"IDAT")
+    corrupt_png[idat + 4: idat + 12] = b"\xde\xad\xbe\xef\xca\xfe\xba\xbe"
+    img = decode_image(bytes(corrupt_png), {"height": 4, "width": 4})
+    assert img.shape == (4, 4, 3)  # deterministic fake, sized from meta
+
+    # valid 'RIFF....WAVE' magic, truncated/garbage chunk table -> wave.Error
+    corrupt_wav = b"RIFF\x24\x00\x00\x00WAVE" + b"\x00" * 8
+    meta = {"width": 0, "height": 0, "channels": 1, "sample_rate": 16000,
+            "duration_ms": 10, "codec": "pcm16"}
+    rows = pd.DataFrame([
+        {"media_id": 0, "kind": "audio", "content": corrupt_wav, "meta": meta},
+    ])
+    media = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    out = audio_features(media).toPandas()
+    assert len(out) == 1 and out["n_samples"].iloc[0] > 0

@@ -211,3 +211,22 @@ def test_kliep_control_plumbs_through_train(tables):
     pred = predict_rec_lin(model, newA, newB)
     m = pred.M_est.orderBy("a").toPandas()
     assert {(r.a, r.b) for r in m.itertuples()} == {(1, 1), (2, 2), (3, 3)}
+
+
+def test_kliep_control_inherits_explicit_kwargs():
+    """A control that only sets `scale` must NOT silently reset the caller's
+    explicit n_centers/n_folds to package defaults (unset control fields are
+    None = inherit)."""
+    import numpy as np
+
+    from automatedreclin_spark.models.kliep import KliepControl, fit_kliep
+
+    rng = np.random.default_rng(3)
+    x_num = rng.gamma(2.0, 0.1, 400)
+    x_den = rng.gamma(1.2, 0.3, 400)
+    m = fit_kliep(x_num, x_den, n_centers=50,
+                  control=KliepControl(scale="numerator"))
+    assert len(m.centers) == 50
+    # and a set control field still wins over the kwarg default
+    m2 = fit_kliep(x_num, x_den, control=KliepControl(n_centers=25))
+    assert len(m2.centers) == 25
