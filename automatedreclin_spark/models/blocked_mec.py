@@ -38,7 +38,7 @@ from automatedreclin_spark.models import families as fam
 from automatedreclin_spark.operators.blocking import BlockSummary, block_summary
 from automatedreclin_spark.operators.comparison import comparison_vectors, gamma_name
 from automatedreclin_spark.operators.pairs import block_pairs
-from automatedreclin_spark.operators.selection import select_mec_pairs
+from automatedreclin_spark.operators.selection import retain_top_n, select_mec_pairs
 from automatedreclin_spark.evaluation import evaluation, get_metrics, get_confusion
 
 _INF = float("inf")
@@ -372,14 +372,17 @@ def blocked_mec(
             # internals.R:1516-1518), then the ranked-retention U fit.
             m_df = scored.join(M, ["a", "b"], "left_semi") if n_M_count else scored
             match_params = _estimate_side(m_df, b_gammas, cpar_gammas, "M", m_fallback)
-            U = scored.join(M, ["a", "b"], "left_anti")
+            U = scored.join(M, ["a", "b"], "left_anti") \
+                .persist(StorageLevel.MEMORY_AND_DISK)
             n_keep = n_U_count - requested_drop
             score_col = "q_est" if "q_est" in scored.columns else "ratio"
-            w = Window.orderBy(
-                F.desc_nulls_last(score_col), F.asc("a"), F.asc("b"), F.asc("block")
-            )
-            ranked = U.withColumn("_rk", F.row_number().over(w))
-            U_fit = ranked.filter(F.col("_rk") <= n_keep).drop("_rk")
+            # retention order (internals.R:1831-1839): q_est desc nulls last,
+            # then (a, b, block) asc — computed scale-safe (sketch cut +
+            # boundary-tie resolution), NOT a global row_number window that
+            # would funnel every nonmatch through one task.
+            U_fit = retain_top_n(U, n_keep, score_col,
+                                 tie_cols=("a", "b", "block"),
+                                 n_total=n_U_count)
             # minimum-sample check: ≥2 positives per cpar var or valid fallback
             ok = True
             if cpar_gammas:
@@ -407,6 +410,7 @@ def blocked_mec(
             })
             # nonmatch-side params from S_U.
             nonmatch_params = _estimate_side(U_fit, b_gammas, cpar_gammas, "U", u_fallback)
+            U.unpersist()
 
         # (d) score s = u/m with NA/neg → +Inf guard
         #     (score_inverted_mec_ratio internals.R:1653-1686).

@@ -277,3 +277,161 @@ def summarize_mec_selection(
     flr_est = float("inf") if n_sel == 0 else (n_sel - g_at) / n_sel
     mmr_est = 1.0 if (n_sel == 0 or n_M_est <= 0) else 1.0 - g_at / n_M_est
     return SelectionSummary(selected, flr_est, mmr_est, it)
+
+
+# ---------------------------------------------------------------------------
+# Distributed "ORDER BY score DESC NULLS LAST, keys ASC LIMIT n" retention
+# (no global window). Used by the blocked-MEC alpha U-drop
+# (internals.R:1831-1839): the naive row_number() over an unpartitioned
+# window funnels ALL nonmatch rows through one task — the textbook
+# 100×-scale killer. Instead: an approxQuantile sketch proposes cut values,
+# ONE conditional-count agg locates the boundary exactly, and only the
+# sketch-error-sized boundary slice (or the tie set at the exact cut value,
+# resolved recursively by the next order column) is touched further. The
+# final ≤MAX_BOUNDARY_COLLECT boundary keys are fetched with a driver-merged
+# top-m (TakeOrderedAndProject) and broadcast-semi-joined back — no
+# Exchange SinglePartition anywhere on the main input.
+# ---------------------------------------------------------------------------
+
+#: boundary slices larger than this take a window over the SLICE only (still
+#: sketch-error-bounded, ≪ the input); keeps the driver key fetch bounded.
+MAX_BOUNDARY_COLLECT = 2_000_000
+
+
+def _order_cols(cols: list[str], descs: list[bool]):
+    return [F.desc_nulls_last(c) if d else F.asc(c) for c, d in zip(cols, descs)]
+
+
+def _prefix_via_window(df: DataFrame, target: int, cols: list[str],
+                       descs: list[bool]) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(*_order_cols(cols, descs))
+    return (df.withColumn("_rk", F.row_number().over(w))
+              .filter(F.col("_rk") <= target).drop("_rk"))
+
+
+def _resolve_slice(S: DataFrame, m: int, cols: list[str], descs: list[bool],
+                   join_cols: list[str]) -> DataFrame:
+    """Top-m of a boundary slice S (already sketch-error-sized): fetch the m
+    winning key tuples with a driver-merged TakeOrderedAndProject and
+    broadcast-semi-join them back on the unique tie keys. Falls back to a
+    window over S (not the full input) if m is abnormally large."""
+    if m <= 0:
+        return S.limit(0)
+    if m > MAX_BOUNDARY_COLLECT:
+        return _prefix_via_window(S, m, cols, descs)
+    keys = (S.select(*join_cols, *[c for c in cols if c not in join_cols])
+             .orderBy(*_order_cols(cols, descs))
+             .select(*join_cols)
+             .limit(m).collect())
+    if not keys:
+        return S.limit(0)
+    kdf = S.sparkSession.createDataFrame(
+        [tuple(r) for r in keys], schema=S.select(*join_cols).schema)
+    return S.join(F.broadcast(kdf), on=join_cols, how="left_semi")
+
+
+def _prefix_rows(df: DataFrame, target: int, n: int, cols: list[str],
+                 descs: list[bool], join_cols: list[str]) -> DataFrame:
+    """Exactly the first `target` of the `n` rows of df under
+    ORDER BY cols[0] (desc/asc per descs), resolving ties by the remaining
+    cols. df must be null-free in cols[0]."""
+    if target <= 0:
+        return df.limit(0)
+    if target >= n:
+        return df
+    col, desc = cols[0], descs[0]
+    c = F.col(col)
+    err = max(1e-7, min(1e-3, 10_000.0 / n))
+    q = (n - target) / n if desc else target / n
+    probs = sorted({min(1.0, max(0.0, q + d)) for d in (-4 * err, 0.0, 4 * err)})
+    cands = df.stat.approxQuantile(col, probs, err)
+    cands = sorted({v for v in cands if v is not None}, reverse=desc)
+    if not cands:
+        return _prefix_via_window(df, target, cols, descs)
+    before = (lambda v: c > v) if desc else (lambda v: c < v)
+    through = (lambda v: c >= v) if desc else (lambda v: c <= v)
+    row = df.agg(*[x for i, v in enumerate(cands) for x in (
+        F.count(F.when(before(F.lit(v)), 1)).alias(f"b{i}"),
+        F.count(F.when(through(F.lit(v)), 1)).alias(f"t{i}"),
+    )]).collect()[0]
+    stats = [(v, int(row[f"b{i}"]), int(row[f"t{i}"]))
+             for i, v in enumerate(cands)]  # in prefix order
+
+    # exact hit: the target-th row's value is one of the candidates
+    for v, n_before, n_through in stats:
+        if n_before <= target <= n_through:
+            definite = df.filter(before(F.lit(v)))
+            m = target - n_before
+            if m == 0:
+                return definite
+            T = df.filter(c == v)
+            if len(cols) > 1:
+                tie_sel = _prefix_rows(T, m, n_through - n_before,
+                                       cols[1:], descs[1:], join_cols)
+            else:
+                # order columns exhausted inside one value — key tuples are
+                # unique in Ω so this is boundary-sized; window over T only
+                tie_sel = _prefix_via_window(T, m, cols, descs)
+            return definite.unionByName(tie_sel)
+
+    # between candidates: find the last candidate fully inside the prefix
+    # (n_through < target) and the first fully outside (n_before > target);
+    # the strictly-between slice is sketch-error-sized.
+    inside = [(v, t) for v, b, t in stats if t < target]
+    outside = [(v, b) for v, b, t in stats if b > target]
+    lo_v, lo_t = (inside[-1] if inside else (None, 0))
+    hi_v, hi_b = (outside[0] if outside else (None, n))
+    definite = df.filter(through(F.lit(lo_v))) if lo_v is not None else df.limit(0)
+    if lo_v is not None and hi_v is not None:
+        S = df.filter(before(F.lit(hi_v)) & ~through(F.lit(lo_v)))
+    elif lo_v is not None:
+        S = df.filter(~through(F.lit(lo_v)))
+    elif hi_v is not None:
+        S = df.filter(before(F.lit(hi_v)))
+    else:
+        return _prefix_via_window(df, target, cols, descs)
+    return definite.unionByName(
+        _resolve_slice(S, target - lo_t, cols, descs, join_cols))
+
+
+def retain_top_n(
+    df: DataFrame,
+    n_keep: int,
+    score_col: str,
+    tie_cols: list[str] | tuple[str, ...] = ("a", "b", "block"),
+    n_total: int | None = None,
+) -> DataFrame:
+    """Exactly the rows ranked 1..n_keep under
+    ``ORDER BY score_col DESC NULLS LAST, tie_cols ASC`` — the alpha U-drop
+    retention order of ``internals.R:1831-1839`` — without a global
+    single-partition window.
+
+    Same row set as
+    ``row_number().over(Window.orderBy(desc_nulls_last(score), *ties)) ≤ n``
+    (ties resolved identically), built from one approxQuantile sketch + one
+    conditional-count agg per order level, touching only sketch-error-sized
+    boundary slices beyond that. Safe when both n_keep and the tie sets are
+    billions of rows. tie_cols must make rows unique (Ω keys)."""
+    tie_cols = [t for t in tie_cols if t in df.columns]
+    if n_keep <= 0:
+        return df.limit(0)
+    if n_total is None:
+        n_total = df.count()
+    if n_keep >= n_total:
+        return df
+    s = F.col(score_col)
+    n_nonnull = df.agg(F.count(s).alias("c")).collect()[0]["c"]
+    nonnull = df.filter(s.isNotNull()) if n_nonnull < n_total else df
+    if n_keep > n_nonnull:
+        # all non-null rows kept; the remainder comes from the NULL tail,
+        # ordered by the tie columns alone
+        nulls = df.filter(s.isNull())
+        tail = _prefix_rows(nulls, n_keep - n_nonnull, n_total - n_nonnull,
+                            list(tie_cols), [False] * len(tie_cols),
+                            list(tie_cols))
+        return nonnull.unionByName(tail)
+    return _prefix_rows(nonnull, n_keep, n_nonnull,
+                        [score_col, *tie_cols],
+                        [True] + [False] * len(tie_cols), list(tie_cols))

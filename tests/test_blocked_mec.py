@@ -218,3 +218,50 @@ def test_pairs_mode_restricts_omega(spark):
     # exact-name pairs are (i, i); one-to-one selection over candidates
     assert {(r.a, r.b) for r in m.itertuples()} == {(1, 1), (2, 2), (3, 3), (4, 4)}
     _contract(res)
+
+
+def test_alpha_drop_scale_path_matches_window_reference(spark, monkeypatch):
+    """The sketch-cut retention (retain_top_n) must reproduce the global
+    row_number-window retention EXACTLY through a full alpha>0 fit: same
+    M_est pairs, same per-iteration U-fit diagnostics. Binary-only gammas
+    give massively tied q_est (the hardest tie case for the cut)."""
+    import numpy as np
+
+    import automatedreclin_spark.models.blocked_mec as bm
+
+    rng = np.random.default_rng(12)
+    n = 120
+    names = [f"n{i:03d}" for i in range(n)]
+    b_names = [s if i % 3 == 0 else f"x{i:03d}" for i, s in enumerate(names)]
+    A = spark.createDataFrame(pd.DataFrame({
+        "a": range(1, n + 1), "name": names,
+        "city": [f"c{i % 4}" for i in range(n)], "block": [i % 5 for i in range(n)],
+    }))
+    B = spark.createDataFrame(pd.DataFrame({
+        "b": range(1, n + 1), "name": b_names,
+        "city": [f"c{i % 4}" for i in range(n)], "block": [i % 5 for i in range(n)],
+    }))
+
+    def run():
+        res = blocked_mec(A, B, ["name", "city"], alpha=0.5)
+        m = sorted(map(tuple, res.M_est.select("a", "b").collect()))
+        return m, res.u_fit_diagnostics
+
+    m_fast, d_fast = run()
+    assert "alpha_reliability_drop" in set(d_fast["reason"]), d_fast
+
+    def window_retention(df, n_keep, score_col, tie_cols=("a", "b", "block"),
+                         n_total=None):
+        from pyspark.sql import functions as F
+        from pyspark.sql.window import Window
+
+        w = Window.orderBy(F.desc_nulls_last(score_col),
+                           *[F.asc(c) for c in tie_cols if c in df.columns])
+        return (df.withColumn("_rk", F.row_number().over(w))
+                  .filter(F.col("_rk") <= n_keep).drop("_rk"))
+
+    monkeypatch.setattr(bm, "retain_top_n", window_retention)
+    m_ref, d_ref = run()
+    assert m_fast == m_ref
+    assert list(d_fast["n_U_fit"]) == list(d_ref["n_U_fit"])
+    assert list(d_fast["reason"]) == list(d_ref["reason"])

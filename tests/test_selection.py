@@ -111,3 +111,79 @@ def test_summarize_flr_bisection(spark):
     assert 0 <= s.flr_est <= 1
     n_sel = s.selected.count()
     assert 0 < n_sel <= n
+
+
+# ------------------------------------------------ retain_top_n (T6 scale) ---
+
+def _topn_reference(df, n_keep, score_col, tie_cols):
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.desc_nulls_last(score_col),
+                       *[F.asc(c) for c in tie_cols])
+    return (df.withColumn("_rk", F.row_number().over(w))
+              .filter(F.col("_rk") <= n_keep).drop("_rk"))
+
+
+def _keyset(df):
+    return set(map(tuple, df.select("a", "b", "block").collect()))
+
+
+@pytest.mark.parametrize("scenario", ["continuous", "heavy_ties", "with_nulls",
+                                      "all_one_value"])
+def test_retain_top_n_matches_global_window(spark, scenario):
+    """retain_top_n must select EXACTLY the rows the reference global
+    row_number window selects (q_est desc nulls last, a/b/block asc),
+    including massive tie sets at the cut and NULL scores."""
+    import numpy as np
+
+    from automatedreclin_spark.operators.selection import retain_top_n
+
+    rng = np.random.default_rng(17)
+    n = 5000
+    a = rng.integers(1, 400, n)
+    b = rng.integers(1, 800, n)
+    block = rng.integers(1, 10, n)
+    if scenario == "continuous":
+        score = rng.normal(size=n)
+    elif scenario == "heavy_ties":
+        score = rng.choice([0.1, 0.5, 0.9], size=n)   # binary-gamma shape
+    elif scenario == "with_nulls":
+        score = rng.normal(size=n)
+        score[rng.random(n) < 0.3] = np.nan           # → NULL below
+    else:
+        score = np.full(n, 2.5)                        # one giant tie set
+    pdf = pd.DataFrame({"a": a, "b": b, "block": block, "score": score})
+    pdf = pdf.drop_duplicates(["a", "b", "block"])     # Ω keys are unique
+    pdf["score"] = pdf["score"].astype(object).where(pdf["score"].notna(), None)
+    df = spark.createDataFrame(pdf, schema="a long, b long, block long, score double")
+
+    for n_keep in (0, 1, 37, len(pdf) // 2, len(pdf) - 1, len(pdf), len(pdf) + 5):
+        got = retain_top_n(df, n_keep, "score", ("a", "b", "block"))
+        want = _topn_reference(df, n_keep, "score", ("a", "b", "block"))
+        assert _keyset(got) == _keyset(want), (scenario, n_keep)
+
+
+def test_retain_top_n_plan_has_no_global_single_partition_exchange(spark):
+    """The alpha-path scale gate: the retention plan must not funnel the full
+    input through Exchange SinglePartition (a window over a boundary TIE SET
+    is acceptable — it never sees more than the tie rows)."""
+    import numpy as np
+
+    from automatedreclin_spark.operators.selection import retain_top_n
+
+    rng = np.random.default_rng(3)
+    n = 20000
+    pdf = pd.DataFrame({
+        "a": np.arange(n), "b": np.arange(n) + 7, "block": np.arange(n) % 16,
+        "score": rng.normal(size=n),
+    })
+    df = spark.createDataFrame(pdf).repartition(8).persist()
+    df.count()
+    got = retain_top_n(df, n // 3, "score", ("a", "b", "block"))
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "Window" not in plan, plan
+    # and it still selects the right rows
+    want = _topn_reference(df, n // 3, "score", ("a", "b", "block"))
+    assert _keyset(got) == _keyset(want)
+    df.unpersist()
