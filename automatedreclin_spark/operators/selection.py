@@ -192,6 +192,37 @@ class SelectionSummary:
     iter: int | None
 
 
+#: FLR/MMR exact path cap: distinct-ratio tables up to this size are
+#: collected and cum-summed on the driver (binary gammas: 2^K values);
+#: beyond it (continuous comparators → distinct ratios ≈ |Ω|) the bisection
+#: evaluates thresholds distributedly and collects nothing.
+MAX_DISTINCT_RATIO_COLLECT = 65_536
+
+#: bisection levels prefetched per distributed aggregation pass (2^L−1
+#: candidate thresholds → 2·(2^L−1) agg columns)
+_BISECT_BATCH_LEVELS = 5
+
+
+def _dyadic_thresholds(lo: float, hi: float, levels: int) -> list[float]:
+    """Every threshold the sequential bisection CAN visit in the next
+    `levels` steps from bracket (lo, hi) — computed with the same (a+b)/2
+    float recursion the loop uses, NOT algebraic fractions, so the probed
+    values are bit-identical to the sequential path."""
+    out: list[float] = []
+    frontier = [(lo, hi)]
+    for _ in range(levels):
+        nxt: list[tuple[float, float]] = []
+        for a, b in frontier:
+            t = (a + b) / 2.0
+            if t == a or t == b:  # bracket exhausted at float resolution
+                continue
+            out.append(t)
+            nxt.append((a, t))
+            nxt.append((t, b))
+        frontier = nxt
+    return out
+
+
 def summarize_mec_selection(
     omega: DataFrame,
     n_M_est: float,
@@ -206,12 +237,23 @@ def summarize_mec_selection(
     internals.R:424-508): size-based greedy set, or FLR/MMR-targeted threshold
     bisection.
 
-    The bisection needs only the cumulative ĝ along descending ratio. We
-    aggregate ``groupBy(ratio) → (count, Σĝ)`` ONCE (distinct ratios are far
-    fewer than pairs — 2^K values for binary gammas), cumsum on the driver,
-    and bisect against that table; the final set is a simple
-    ``filter(ratio ≥ t)`` (threshold sets are not one-to-one constrained, by
-    reference semantics).
+    The bisection needs only (count, Σĝ) of {ratio ≥ t} at each probed
+    threshold. Two physical strategies, chosen by an approx_count_distinct
+    pre-check on ratio:
+
+    - **exact-collect** (binary gammas: ≤ 2^K distinct ratios): aggregate
+      ``groupBy(ratio) → (count, Σĝ)`` once, cumsum on the driver, bisect
+      against that table.
+    - **distributed** (continuous comparators: distinct ratios ≈ |Ω|, which
+      a driver collect cannot hold at scale): evaluate the bisection's own
+      future thresholds in batches — the next ``_BISECT_BATCH_LEVELS`` levels
+      of the (lo+hi)/2 recursion are at most 2^L−1 known floats, so ONE
+      conditional-count aggregation per batch covers 5 bisection steps.
+      Nothing is collected; thresholds are the exact floats the sequential
+      loop computes, so both strategies probe identical thresholds.
+
+    The final set is a simple ``filter(ratio ≥ t)`` (threshold sets are not
+    one-to-one constrained, by reference semantics).
     """
     if set_construction not in ("size", "flr", "mmr"):
         raise ValueError("`set_construction` should be one of: size, flr, mmr.")
@@ -231,24 +273,54 @@ def summarize_mec_selection(
         mmr_est = max(0.0, min(1.0, 1.0 - g_sum / n_sel))
         return SelectionSummary(selected, flr_est, mmr_est, None)
 
-    stats = (
-        omega.groupBy("ratio")
-        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("g_est").alias("g_sum"))
-        .orderBy(F.col("ratio").desc())
-        .toPandas()
-    )
-    ratios = stats["ratio"].to_numpy(dtype=np.float64)
-    cum_n = stats["cnt"].to_numpy(dtype=np.int64).cumsum()
-    cum_g = stats["g_sum"].to_numpy(dtype=np.float64).cumsum()
+    n_distinct = omega.agg(
+        F.approx_count_distinct("ratio").alias("d")).collect()[0]["d"]
+    if n_distinct <= MAX_DISTINCT_RATIO_COLLECT:
+        stats = (
+            omega.groupBy("ratio")
+            .agg(F.count(F.lit(1)).alias("cnt"), F.sum("g_est").alias("g_sum"))
+            .orderBy(F.col("ratio").desc())
+            .toPandas()
+        )
+        ratios = stats["ratio"].to_numpy(dtype=np.float64)
+        cum_n = stats["cnt"].to_numpy(dtype=np.int64).cumsum()
+        cum_g = stats["g_sum"].to_numpy(dtype=np.float64).cumsum()
 
-    def n_and_g_at(threshold: float) -> tuple[int, float]:
-        # pairs with ratio >= threshold  (findInterval(-t, -ratio_sorted))
-        k = int(np.searchsorted(-ratios, -threshold, side="right"))
-        if k == 0:
-            return 0, 0.0
-        return int(cum_n[k - 1]), float(cum_g[k - 1])
+        def n_and_g_at(threshold: float) -> tuple[int, float]:
+            # pairs with ratio >= threshold (findInterval(-t, -ratio_sorted))
+            k = int(np.searchsorted(-ratios, -threshold, side="right"))
+            if k == 0:
+                return 0, 0.0
+            return int(cum_n[k - 1]), float(cum_g[k - 1])
 
-    min_t, max_t = float(ratios[-1]), float(ratios[0])
+        min_t, max_t = float(ratios[-1]), float(ratios[0])
+    else:
+        mm = omega.agg(F.min("ratio").alias("lo"),
+                       F.max("ratio").alias("hi")).collect()[0]
+        min_t, max_t = float(mm["lo"]), float(mm["hi"])
+        _cache: dict[float, tuple[int, float]] = {}
+
+        def _batch_eval(ts: list[float]) -> None:
+            ts = [t for t in ts if t not in _cache]
+            if not ts:
+                return
+            aggs = []
+            for i, t in enumerate(ts):
+                cond = F.col("ratio") >= t
+                aggs.append(F.count(F.when(cond, 1)).alias(f"n{i}"))
+                aggs.append(F.sum(F.when(cond, F.col("g_est"))).alias(f"g{i}"))
+            row = omega.agg(*aggs).collect()[0]
+            for i, t in enumerate(ts):
+                _cache[t] = (int(row[f"n{i}"]), float(row[f"g{i}"] or 0.0))
+
+        def n_and_g_at(threshold: float) -> tuple[int, float]:
+            if threshold not in _cache:
+                # prefetch every threshold the next L bisection steps can
+                # visit from the CURRENT bracket — one agg per L steps
+                _batch_eval(_dyadic_thresholds(min_t, max_t,
+                                               _BISECT_BATCH_LEVELS)
+                            + [threshold])
+            return _cache[threshold]
     threshold = (min_t + max_t) / 2.0
     it = 0
     while it < max_iter:

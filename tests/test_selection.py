@@ -187,3 +187,72 @@ def test_retain_top_n_plan_has_no_global_single_partition_exchange(spark):
     want = _topn_reference(df, n // 3, "score", ("a", "b", "block"))
     assert _keyset(got) == _keyset(want)
     df.unpersist()
+
+
+# --------------------------------------- flr/mmr distributed bisection ------
+
+def _continuous_omega(spark, n):
+    """Deterministic Ω with ~n distinct continuous ratios and a g_est
+    correlated with ratio (no RNG — xxhash64-derived uniforms)."""
+    df = spark.range(n).select(
+        F.col("id").alias("a"), (F.col("id") + 1).alias("b"),
+        (F.pmod(F.xxhash64(F.col("id")), F.lit(2 ** 40)) / F.lit(2.0 ** 40))
+        .alias("u"),
+    )
+    return df.select(
+        "a", "b",
+        (F.col("u") * 10.0).alias("ratio"),
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-8.0 * (F.col("u") - 0.5))))
+        .alias("g_est"),
+    )
+
+
+def test_flr_mmr_distributed_bisection_no_collect(spark, monkeypatch):
+    """Continuous-gamma Ω with ≥10⁶ distinct ratios: the flr/mmr bisection
+    must never collect the distinct-ratio table (toPandas is poisoned) and
+    must still hit the target rate within tol."""
+    from pyspark.sql import DataFrame
+
+    omega = _continuous_omega(spark, 1_200_000).persist()
+    n_total = omega.count()
+    assert omega.select("ratio").distinct().count() > 1_000_000
+
+    def boom(self, *a, **k):
+        raise AssertionError("distributed flr/mmr path must not collect")
+
+    monkeypatch.setattr(DataFrame, "toPandas", boom)
+    summary = summarize_mec_selection(omega, n_M_est=n_total * 0.4,
+                                      set_construction="flr",
+                                      target_rate=0.05, tol=0.005)
+    assert abs(summary.flr_est - 0.05) <= 0.005, summary.flr_est
+    # flr_est must be consistent with the returned set
+    agg = summary.selected.agg(F.count(F.lit(1)).alias("n"),
+                               F.sum("g_est").alias("g")).collect()[0]
+    assert abs((1.0 - float(agg["g"]) / agg["n"]) - summary.flr_est) < 1e-9
+    monkeypatch.undo()
+
+    summary_m = summarize_mec_selection(omega, n_M_est=n_total * 0.4,
+                                        set_construction="mmr",
+                                        target_rate=0.1, tol=0.01)
+    assert abs(summary_m.mmr_est - 0.1) <= 0.01, summary_m.mmr_est
+    omega.unpersist()
+
+
+def test_flr_distributed_matches_exact_collect_path(spark, monkeypatch):
+    """Both strategies probe bit-identical thresholds, so forcing the
+    exact-collect path on the same Ω must give the same iteration count,
+    the same selected set size, and the same rates."""
+    import automatedreclin_spark.operators.selection as sel
+
+    omega = _continuous_omega(spark, 150_000).persist()  # > 65,536 distinct
+    kw = dict(n_M_est=60_000.0, set_construction="flr",
+              target_rate=0.04, tol=0.004)
+    dist = summarize_mec_selection(omega, **kw)
+    n_dist = dist.selected.count()
+    monkeypatch.setattr(sel, "MAX_DISTINCT_RATIO_COLLECT", 10 ** 12)
+    exact = summarize_mec_selection(omega, **kw)
+    assert dist.iter == exact.iter
+    assert n_dist == exact.selected.count()
+    assert abs(dist.flr_est - exact.flr_est) < 1e-9
+    assert abs(dist.mmr_est - exact.mmr_est) < 1e-9
+    omega.unpersist()
