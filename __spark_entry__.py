@@ -2,9 +2,9 @@
 
 entry(spark)  — flagship blocked binary MEC linkage at sf0.001
 queries()     — operator registry (SURVEY.md §2 + training-data ops)
-oracle_sql()  — DuckDB equivalents; 22/23 queries have one (iterative fits
-                via invariant-table oracles) — only the inherently
-                approximate IVF top-k stays rows-only
+oracle_sql()  — DuckDB equivalents; ALL 23 queries have one (iterative fits
+                and the approximate IVF top-k via invariant-table oracles
+                whose anchors DuckDB recomputes independently)
 
 The registry callables run against WHATEVER SparkSession the driver passes;
 `_ensure_shipped` ships this package to executor Python workers via
