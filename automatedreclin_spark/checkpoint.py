@@ -53,10 +53,16 @@ class CheckpointManager:
         name: str,
         builder: Callable[[], DataFrame],
         meta: dict[str, Any] | None = None,
+        inputs: list[str] | None = None,
     ) -> DataFrame:
         """Run (or resume) a checkpointed stage. The builder's output is
         materialized to parquet; reading it back also truncates lineage for
-        downstream iteration (the localCheckpoint role at cluster scale)."""
+        downstream iteration (the localCheckpoint role at cluster scale).
+
+        ``inputs`` names the upstream committed stages this stage reads; their
+        rows_out become this stage's explicit rows_in lineage (SURVEY §7.0's
+        (stage, iter, rows_in, rows_out) row). Stages fed by external tables
+        pass no inputs and record rows_in = null."""
         sdir = self._stage_dir(name)
         data_dir = sdir / "data"
         if self.resume and self.is_committed(name):
@@ -80,9 +86,20 @@ class CheckpointManager:
             .agg(F.count(F.lit(1)).alias("rows"))
             .collect()
         )
+        # Explicit rows_in lineage: each named upstream stage's committed
+        # rows_out, read from its manifest (committed strictly before us).
+        inputs_rows: dict[str, int] = {}
+        for up in inputs or []:
+            m = self.manifest(up)
+            if m is not None:
+                inputs_rows[up] = int(m["rows"])
+        rows_in = sum(inputs_rows.values()) if inputs_rows else None
+
         manifest = {
             "stage": name,
             "rows": rows_out,
+            "rows_in": rows_in,
+            "inputs": inputs_rows,
             "partitions": {int(r["partition_id"]): int(r["rows"]) for r in per_part},
             "schema": out.schema.simpleString(),
             "elapsed_sec": round(time.time() - t0, 3),
@@ -92,7 +109,8 @@ class CheckpointManager:
         (sdir / "manifest.json").write_text(json.dumps(manifest, indent=2, default=str))
         (sdir / "_COMMITTED").write_text(str(time.time()))
         self._append_counters(name, rows_out, len(per_part),
-                              manifest["elapsed_sec"], meta)
+                              manifest["elapsed_sec"], meta,
+                              rows_in=rows_in, inputs_rows=inputs_rows)
         return out
 
     # ---------------------------------------------------- counters table ----
@@ -101,16 +119,20 @@ class CheckpointManager:
         return self.base / "_counters.jsonl"
 
     def _append_counters(self, stage: str, rows_out: int, n_partitions: int,
-                         elapsed_sec: float, meta: dict[str, Any] | None) -> None:
+                         elapsed_sec: float, meta: dict[str, Any] | None,
+                         rows_in: int | None = None,
+                         inputs_rows: dict[str, int] | None = None) -> None:
         """One queryable row per committed stage — the (stage, iter, rows_in,
-        rows_out) lineage table of SURVEY §7.0. rows_in for a stage is its
-        upstream stages' rows_out (stages are pure functions of committed
-        snapshots), so the table carries rows_out + the stage graph via
-        ``meta``; appended atomically AFTER the commit marker."""
+        rows_out) lineage table of SURVEY §7.0. rows_in is the summed
+        rows_out of the stage's declared upstream committed snapshots, and
+        ``inputs`` keeps the per-upstream breakdown; appended atomically
+        AFTER the commit marker."""
         rec = {
             "stage": stage,
             "committed_at": time.time(),
+            "rows_in": rows_in,
             "rows_out": rows_out,
+            "inputs": inputs_rows or {},
             "n_partitions": n_partitions,
             "elapsed_sec": elapsed_sec,
             "meta": meta or {},
@@ -118,21 +140,26 @@ class CheckpointManager:
         with self._counters_path().open("a") as f:
             f.write(json.dumps(rec, default=str) + "\n")
 
+    _COUNTERS_SCHEMA = (
+        "stage string, committed_at double, rows_in long, rows_out long, "
+        "inputs map<string,long>, n_partitions long, elapsed_sec double"
+    )
+
     def counters(self) -> DataFrame:
         """The per-stage lineage/counters table as a DataFrame (survives
         resume: committed stages keep their original rows; re-run stages
         append a fresh row, so the history is an audit log)."""
         p = self._counters_path()
         if not p.exists():
-            return self.spark.createDataFrame(
-                [], "stage string, committed_at double, rows_out long, "
-                    "n_partitions long, elapsed_sec double")
+            return self.spark.createDataFrame([], self._COUNTERS_SCHEMA)
         recs = [json.loads(ln) for ln in p.read_text().splitlines() if ln.strip()]
         return self.spark.createDataFrame(
-            [(r["stage"], float(r["committed_at"]), int(r["rows_out"]),
+            [(r["stage"], float(r["committed_at"]),
+              None if r.get("rows_in") is None else int(r["rows_in"]),
+              int(r["rows_out"]),
+              {k: int(v) for k, v in (r.get("inputs") or {}).items()},
               int(r["n_partitions"]), float(r["elapsed_sec"])) for r in recs],
-            "stage string, committed_at double, rows_out long, "
-            "n_partitions long, elapsed_sec double",
+            self._COUNTERS_SCHEMA,
         )
 
     def scalar(self, name: str, builder: Callable[[], dict[str, Any]]) -> dict[str, Any]:

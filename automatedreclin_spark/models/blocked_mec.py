@@ -206,6 +206,7 @@ def blocked_mec(
     comparators: dict | None = None,
     methods: dict[str, str] | None = None,
     block_col: str = "block",
+    duplicates_in_A: bool = False,
     start_params: dict | None = None,
     delta: float = 0.5,
     eps: float = 0.05,
@@ -232,6 +233,13 @@ def blocked_mec(
 
     Allowed methods: binary / continuous_parametric only (reference restricts
     the blocked path, unsupervised_learning.R:1002-1006).
+
+    ``duplicates_in_A`` relaxes the one-to-one constraint on the A side
+    (reference-arg parity with ``mec()``, unsupervised_learning.R:215 /
+    internals.R:513-533: each A record is used at most once but B records may
+    repeat). The structural match bound per block becomes n_a instead of
+    min(n_a, n_b). The reference's own blocked path hardcodes FALSE
+    (internals.R:1122), so the default reproduces reference behavior exactly.
     """
     if not (isinstance(alpha, (int, float)) and math.isfinite(alpha) and 0 <= alpha < 1):
         raise ValueError("`alpha` should be a single numeric value in [0, 1).")
@@ -243,6 +251,9 @@ def blocked_mec(
             f"(offending: {bad})."
         )
 
+    # Structural per-block match cap: min(n_a, n_b) one-to-one, n_a when B
+    # records may repeat (duplicates_in_A).
+    _cap = (F.col("n_a") if duplicates_in_A else F.least("n_a", "n_b"))
     if pairs is None:
         # Candidate pairs: within-block products (disjoint keys → no dedup),
         # deterministic (block, a, b) ordering happens only at output.
@@ -250,10 +261,18 @@ def blocked_mec(
             A.select(F.col(block_col).alias("block"), F.col(a_col).alias("a")),
             B.select(F.col(block_col).alias("block"), F.col(b_col).alias("b")),
         )
-        nu = summary.nu
         pair_df = block_pairs(A, B, block_col=block_col, a_col=a_col, b_col=b_col,
                               dedup=False)
         summary_df = summary.summary
+        if duplicates_in_A:
+            summary_df = summary_df.withColumn(
+                "nonmatches_min", F.col("pair_count") - _cap
+            )
+            nu = int(summary_df.agg(F.sum(
+                F.when((F.col("n_a") > 0) & (F.col("n_b") > 0), _cap).otherwise(0)
+            )).collect()[0][0] or 0)
+        else:
+            nu = summary.nu
     else:
         pair_df = pairs.select(F.col(block_col).alias("block"), "a", "b")
         summary_df = pair_df.groupBy("block").agg(
@@ -261,10 +280,10 @@ def blocked_mec(
             F.count_distinct("b").alias("n_b"),
             F.count(F.lit(1)).alias("pair_count"),
         ).withColumn(
-            "nonmatches_min", F.col("pair_count") - F.least("n_a", "n_b")
+            "nonmatches_min", F.col("pair_count") - _cap
         ).persist(StorageLevel.MEMORY_AND_DISK)
         nu = int(
-            summary_df.agg(F.sum(F.least("n_a", "n_b"))).collect()[0][0] or 0
+            summary_df.agg(F.sum(_cap)).collect()[0][0] or 0
         )
     cv = comparison_vectors(
         A, B, variables, comparators=comparators, pairs=pair_df,
@@ -305,6 +324,7 @@ def blocked_mec(
     M = select_mec_pairs(
         omega, float(max(0, nu)), block_col="block", ascending=True,
         invalid_to_never=True, ratio_col="init_disagreement",
+        duplicates_in_A=duplicates_in_A,
     ).select("a", "b").persist(StorageLevel.MEMORY_AND_DISK)
     n_M_count = M.count()
     n_U_count = N - n_M_count
@@ -451,6 +471,7 @@ def blocked_mec(
         M_new = select_mec_pairs(
             scored, float(n_M_est), block_col="block", ascending=True,
             invalid_to_never=True, keys_only=True,
+            duplicates_in_A=duplicates_in_A,
         ).select("a", "b").persist(StorageLevel.MEMORY_AND_DISK)
         n_M_new = M_new.count()
         n_U_new = N - n_M_new

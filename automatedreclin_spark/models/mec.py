@@ -24,6 +24,7 @@ selection runs per block via applyInPandas (see operators/selection.py).
 from __future__ import annotations
 
 import math
+import time
 from dataclasses import dataclass, field
 from typing import Any
 
@@ -67,6 +68,13 @@ class MecResult:
     scored: DataFrame | None = None       # final Ω with ratio / g_est columns
     dropped_variables: list[str] = field(default_factory=list)
     convergence_reason: str | None = None
+    # Per-iteration diagnostics for the constant-depth invariant: wall seconds
+    # and the analyzed-plan line count of the rebuilt scored Ω. The plan lines
+    # MUST be constant from iteration 1 — any growth means lineage is
+    # accumulating across iterations (the scale bug the rebuild-from-persisted-
+    # omega design exists to prevent). Guarded by tests/test_mec.py.
+    iter_seconds: list[float] = field(default_factory=list)
+    iter_plan_lines: list[int] = field(default_factory=list)
 
 
 def _validate_methods(methods: dict[str, str] | None, variables: list[str]) -> dict[str, str]:
@@ -106,6 +114,7 @@ def mec(
     b_col: str = "b",
     seed: int = 1,
     kliep_control=None,
+    hit_miss_reseed: bool = False,
     verbose: bool = False,
 ) -> MecResult:
     """Unsupervised MEC fit. ``A`` / ``B`` must carry record-id columns
@@ -316,8 +325,11 @@ def mec(
     if hm_gammas:
         m_aggs += fam.binary_fit_aggs(hm_gammas, "hm_theta")
 
+    iter_seconds: list[float] = []
+    iter_plan_lines: list[int] = []
     while n_iter < max_iter:
         n_iter += 1
+        _iter_t0 = time.time()
         # (a) posterior ĝ with n_M = |M_idx| from the previous selection,
         #     then n_M ← Σĝ capped at min(n_A, n_B).
         n_M_count_for_g = n_M_count
@@ -340,6 +352,7 @@ def mec(
         M_prev = M_selected
         if n_M_count == 0:
             convergence_reason = "empty_selection"
+            iter_seconds.append(time.time() - _iter_t0)
             break
 
         # (c) convergence: |Δn_M| < delta or ‖Δparams‖₂ < eps (from iter 2);
@@ -348,6 +361,7 @@ def mec(
         if n_iter >= 2:
             if abs(n_M_old - n_M) < delta:
                 convergence_reason = "n_M_delta"
+                iter_seconds.append(time.time() - _iter_t0)
                 break
             if not cnonpar_gammas:
                 old = np.array(theta_b_old + cpar_old[0] + cpar_old[1] + cpar_old[2]
@@ -355,6 +369,7 @@ def mec(
                 new = np.array(theta_b + p_0_M + alpha_M + beta_M + theta_hm)
                 if len(old) and float(np.linalg.norm(old - new)) < eps:
                     convergence_reason = "param_eps"
+                    iter_seconds.append(time.time() - _iter_t0)
                     break
 
         # (d) re-estimate M-side parameters from the current selection —
@@ -465,11 +480,18 @@ def mec(
             # iterations <k. Deterministic given `seed`; kept over per-
             # iteration re-seeding because the loose-tol EM is init-dependent
             # and this stream reproduces the R goldens (test_mec.R:55-63).
+            # ``hit_miss_reseed=True`` opts into a per-iteration stream keyed
+            # on (seed, n_iter): iteration k's EM init then does NOT depend
+            # on how many draws earlier iterations consumed — results become
+            # insertable/resumable per iteration, at the cost of R-golden
+            # stream compatibility.
+            em_rng = (np.random.default_rng([seed, n_iter])
+                      if hit_miss_reseed else rng)
             if hm_value_models is not None:
-                u = hit_miss_em(hm_value_models, p_est, rng)
+                u = hit_miss_em(hm_value_models, p_est, em_rng)
                 eta_models = hm_value_models
             else:
-                u = hit_miss_em_spark(B, hm_vars, hm_domains, p_est, rng)
+                u = hit_miss_em_spark(B, hm_vars, hm_domains, p_est, em_rng)
                 eta_models = {
                     v: SimpleNamespace(m_est=hm_domains[v]["m"].to_numpy())
                     for v in hm_vars
@@ -481,6 +503,12 @@ def mec(
             "ratio",
             ratio_expr(theta_b, p_0_M, alpha_M, beta_M, cnonpar_expr, theta_hm, eta_hm),
         )
+        # Constant-depth invariant: the rebuilt Ω's analyzed plan must not
+        # grow with the iteration count (free JVM string render, no job).
+        iter_plan_lines.append(
+            scored._jdf.queryExecution().analyzed().toString().count("\n")
+        )
+        iter_seconds.append(time.time() - _iter_t0)
         if verbose:
             print(f"[mec] iter={n_iter} n_M={n_M:.4f} theta_b={theta_b} "
                   f"p_0_M={p_0_M} alpha_M={alpha_M} beta_M={beta_M}")
@@ -542,4 +570,6 @@ def mec(
         scored=scored,
         dropped_variables=dropped,
         convergence_reason=convergence_reason,
+        iter_seconds=iter_seconds,
+        iter_plan_lines=iter_plan_lines,
     )

@@ -111,7 +111,8 @@ def link_repo_files(
 
     pairs = ck.stage("20_candidates", build_candidates,
                      meta={"n_buckets": n_buckets, "path_probes": path_probes,
-                           "content_probes": content_probes})
+                           "content_probes": content_probes},
+                     inputs=["10_records_A", "10_records_B"])
     n_pairs = ck.manifest("20_candidates")["rows"]
 
     def build_components() -> DataFrame:
@@ -120,7 +121,8 @@ def link_repo_files(
         edges = pairs.select((F.col("a") * 2).alias("u"), (F.col("b") * 2 + 1).alias("v"))
         return connected_components(edges)
 
-    comp = ck.stage("30_components", build_components)
+    comp = ck.stage("30_components", build_components,
+                    inputs=["20_candidates"])
     n_components = comp.select("component").distinct().count()
 
     a_blocks = comp.filter(F.col("id") % 2 == 0).select(
@@ -153,9 +155,13 @@ def link_repo_files(
             seed=seed,
             checkpoint_dir=f"{checkpoint_dir}/40_linkage_iters",
         )
-    matches = ck.stage("40_linkage", lambda: fit.M_est)
+    matches = ck.stage(
+        "40_linkage", lambda: fit.M_est,
+        inputs=["10_records_A", "10_records_B", "20_candidates", "30_components"],
+    )
 
-    clusters = ck.stage("50_clusters", lambda: cluster_matches(matches))
+    clusters = ck.stage("50_clusters", lambda: cluster_matches(matches),
+                        inputs=["40_linkage"])
 
     def build_entities() -> DataFrame:
         a_side = clusters.filter(F.col("side") == 0).select(
@@ -172,7 +178,8 @@ def link_repo_files(
         )
         return a_side.unionByName(b_side)
 
-    entities = ck.stage("55_entities", build_entities)
+    entities = ck.stage("55_entities", build_entities,
+                        inputs=["50_clusters", "10_records_A", "10_records_B"])
 
     eval_metrics = None
     if labels is not None:

@@ -265,3 +265,33 @@ def test_alpha_drop_scale_path_matches_window_reference(spark, monkeypatch):
     assert m_fast == m_ref
     assert list(d_fast["n_U_fit"]) == list(d_ref["n_U_fit"])
     assert list(d_fast["reason"]) == list(d_ref["reason"])
+
+
+def test_duplicates_in_A_relaxes_b_reuse(spark):
+    """`duplicates_in_A=True` (arg parity with mec(), internals.R:513-533):
+    A records are used at most once but B records may repeat, so a block
+    with duplicated A records can match both to the same B record. The
+    structural bound per block becomes n_a instead of min(n_a, n_b)."""
+    # Block 1: two identical A records, one matching B record; block 2 is a
+    # clean pair so the fit has an unambiguous match pattern.
+    A = spark.createDataFrame(pd.DataFrame({
+        "a": [1, 2, 3], "name": ["same", "same", "left"],
+        "surname": ["person", "person", "alpha"], "block": [1, 1, 2],
+    }))
+    B = spark.createDataFrame(pd.DataFrame({
+        "b": [1, 2], "name": ["same", "left"], "surname": ["person", "alpha"],
+        "block": [1, 2],
+    }))
+
+    res_dup = blocked_mec(A, B, ["name", "surname"], duplicates_in_A=True)
+    m = res_dup.M_est.orderBy("a").toPandas()
+    # nu = n_a per block with duplicates allowed: 2 + 1
+    assert res_dup.nu == 3
+    assert m["a"].is_unique
+    # both duplicate A records link to the single B record
+    assert list(m[m["a"].isin([1, 2])]["b"]) == [1, 1]
+
+    res_one2one = blocked_mec(A, B, ["name", "surname"])
+    m1 = res_one2one.M_est.toPandas()
+    assert res_one2one.nu == 2
+    assert m1["a"].is_unique and m1["b"].is_unique

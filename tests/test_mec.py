@@ -159,12 +159,31 @@ def test_long_fit_iteration_cost_flat(spark):
         res = mec(A, B, variables=["name", "surname"], delta=0.0, eps=0.0,
                   max_iter=n_iter)
         assert res.n_iter == n_iter
-        return time.time() - t0
+        return time.time() - t0, res
 
     run(3)                      # warm codegen / python workers
-    t_short = run(12)
-    t_long = run(48)
+    t_short, _ = run(12)
+    t_long, res = run(48)
     assert t_long < 7.0 * t_short, (t_short, t_long)
+
+    # Plan-depth invariant, measured per iteration inside the loop: the
+    # analyzed plan of the rebuilt scored Ω has EXACTLY the same line count
+    # every iteration — any growth means lineage accumulates across
+    # iterations and a 1000-iteration fit at scale would OOM the driver on
+    # plan analysis alone.
+    assert len(res.iter_plan_lines) == 48
+    assert len(set(res.iter_plan_lines)) == 1, res.iter_plan_lines
+
+    # Per-iteration wall time stays flat: the median of the last 12
+    # iterations must not exceed a small multiple of the median of
+    # iterations 2-13 (generous headroom for timer noise and concurrent
+    # test load; linear lineage growth would give ~4x, quadratic far more).
+    import statistics
+
+    assert len(res.iter_seconds) == 48
+    early = statistics.median(res.iter_seconds[1:13])
+    late = statistics.median(res.iter_seconds[-12:])
+    assert late < 3.0 * early + 0.05, (early, late, res.iter_seconds)
 
 
 def test_hit_miss_em_spark_matches_numpy(spark, data):
@@ -248,3 +267,26 @@ def test_hit_miss_value_domains_handle_nulls(spark):
     models = fit_value_models(A, B, ["name"])
     dom_np = sorted(models["name"].values)
     assert dom_np == sorted(domains["name"]["value"])
+
+
+def test_hit_miss_reseed_flag(data):
+    """`hit_miss_reseed=True` re-seeds the EM per outer iteration from
+    (seed, n_iter) instead of threading one shared stream: still fully
+    deterministic (two runs agree exactly), same decisions on the golden
+    scenario, and independent of draws consumed by earlier iterations. The
+    default (shared stream) keeps R-golden stream compatibility and is
+    covered by test_hit_miss_mec_decision_parity."""
+    A, B, true = data
+    meth = {"name": "hit_miss", "surname": "hit_miss"}
+    r1 = mec(A, B, variables=["name", "surname"], methods=meth,
+             true_matches=true, hit_miss_reseed=True)
+    r2 = mec(A, B, variables=["name", "surname"], methods=meth,
+             true_matches=true, hit_miss_reseed=True)
+    m1 = r1.M_est.orderBy("a").toPandas()
+    m2 = r2.M_est.orderBy("a").toPandas()
+    assert m1.equals(m2)
+    assert list(r1.hm_params["eta"]) == list(r2.hm_params["eta"])
+    # decision parity with the golden match set holds under re-seeding
+    assert list(m1["a"]) == [1, 2, 3, 4]
+    assert list(m1["b"]) == [1, 2, 3, 4]
+    assert list(r1.hm_params["theta"]) == pytest.approx([1.0, 1.0], abs=1e-12)

@@ -111,3 +111,33 @@ def test_counters_table_exists_and_survives_resume(spark, corpus, first_run):
     link_repo_files(spark, A, B, checkpoint_dir=ckdir, labels=labels)
     c2 = CheckpointManager(spark, ckdir).counters().toPandas()
     assert len(c2) == n_before
+
+
+def test_counters_record_explicit_rows_in_lineage(spark, first_run):
+    """SURVEY §7.0: the lineage row is (stage, iter, rows_in, rows_out) —
+    rows_in must be recorded explicitly as the upstream committed stages'
+    rows_out, not just implied by the stage graph. Full check on stage 40."""
+    from automatedreclin_spark.checkpoint import CheckpointManager
+
+    _, ckdir = first_run
+    ck = CheckpointManager(spark, ckdir)
+    c = ck.counters().toPandas().set_index("stage")
+
+    row40 = c.loc["40_linkage"]
+    expected_inputs = {
+        up: ck.manifest(up)["rows"]
+        for up in ["10_records_A", "10_records_B", "20_candidates", "30_components"]
+    }
+    assert dict(row40["inputs"]) == expected_inputs
+    assert int(row40["rows_in"]) == sum(expected_inputs.values())
+    assert int(row40["rows_out"]) == ck.manifest("40_linkage")["rows"]
+
+    # root stages read external tables: rows_in is null, inputs empty
+    assert row40.notna()["rows_in"]
+    import pandas as pd
+    assert pd.isna(c.loc["10_records_A", "rows_in"])
+    assert dict(c.loc["10_records_A", "inputs"]) == {}
+    # every non-root stage's manifest carries the same lineage
+    man40 = ck.manifest("40_linkage")
+    assert man40["inputs"] == expected_inputs
+    assert man40["rows_in"] == sum(expected_inputs.values())
