@@ -10,7 +10,12 @@ The full MEC fit at 400M pairs is intentionally included: per-iteration work
 is two aggregations + a per-block selection over the persisted gamma base, so
 it must stay minutes-not-hours. Usage:
 
-    python scripts/bench_heavy.py [replication] [sf_dir]
+    python scripts/bench_heavy.py [replication] [sf_dir] [alpha]
+
+With a nonzero third argument, ALSO runs a blocked_mec fit with that alpha
+at the heavy size — exercising the sketch-based U-retention path (T6) at
+hundreds of millions of nonmatch rows, where the old global row_number
+window would have serialized everything through one task.
 
 Appends a "## Heavy anchor" section to BENCH.md.
 """
@@ -41,6 +46,7 @@ from automatedreclin_spark.functions.comparators import (  # noqa: E402
 def main() -> None:
     repl = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    alpha = float(sys.argv[3]) if len(sys.argv) > 3 else 0.0
     heavy_dir = f"/tmp/heavy_customer_x{repl}"
 
     spark = get_spark(app_name="bench-heavy", cpus=32)
@@ -90,6 +96,33 @@ def main() -> None:
     results["mec_n_iter"] = res.n_iter
     results["mec_m_est"] = res.M_est.count()
 
+    # 3) optional: blocked inverted MEC with alpha U-drop at the heavy size —
+    # the T6 sketch-retention scale path under a real 10^8-row U.
+    alpha_lines: list[str] = []
+    if alpha > 0:
+        from automatedreclin_spark.models.blocked_mec import blocked_mec
+
+        t0 = time.time()
+        bres = blocked_mec(A, B, ["name", "seg"],
+                           pairs=pairs.select("block", "a", "b"), alpha=alpha)
+        alpha_sec = time.time() - t0
+        diag = bres.u_fit_diagnostics
+        applied = list(diag[diag["alpha_applied"]]["n_U_fit"]) if len(diag) else []
+        results["alpha"] = alpha
+        results["alpha_fit_sec"] = round(alpha_sec, 2)
+        results["alpha_n_iter"] = bres.iter
+        results["alpha_m_est"] = int(bres.n_M_est)
+        results["alpha_applied_iters"] = len(applied)
+        alpha_lines = [
+            f"- blocked inverted MEC with `alpha={alpha}` U-drop "
+            f"({bres.iter} iterations, sketch retention applied in "
+            f"{len(applied)} of them): **{alpha_sec:.1f} s**, "
+            f"|M_est| = {int(bres.n_M_est):,} — the retention ranks "
+            f"~{max(applied) if applied else 0:,} kept U rows per iteration "
+            f"via approxQuantile cut + boundary ties only (no "
+            f"single-partition window)",
+        ]
+
     print(json.dumps(results))
 
     bench_md = REPO / "BENCH.md"
@@ -110,6 +143,7 @@ def main() -> None:
         f"- full MEC fit on block-constrained pairs (iterate-to-convergence, "
         f"{res.n_iter} iterations): "
         f"**{fit_sec:.1f} s**, |M_est| = {results['mec_m_est']:,}",
+        *alpha_lines,
         "",
         "Generated by `python scripts/bench_heavy.py`.",
         "",
