@@ -38,9 +38,15 @@ def bernoulli_product_expr(gamma_cols: list[str], probs: list[float]) -> Column:
     return reduce(lambda x, y: x * y, terms)
 
 
-def binary_fit_aggs(gamma_cols: list[str], prefix: str) -> list[Column]:
-    """θ_k = mean(γ_k) over the fit set (``binary_formula`` internals.R:17-23)."""
-    return [F.avg(g).alias(f"{prefix}_{g}") for g in gamma_cols]
+def binary_fit_aggs(gamma_cols: list[str], prefix: str,
+                    where: Column | None = None) -> list[Column]:
+    """θ_k = mean(γ_k) over the fit set (``binary_formula`` internals.R:17-23).
+
+    ``where`` restricts the fit set WITHOUT a separate filtered scan: the
+    column is nulled outside the subset and avg skips nulls, so M-side,
+    U-side and Ω-side statistics fuse into one aggregation job."""
+    src = (lambda g: F.when(where, F.col(g))) if where is not None else F.col
+    return [F.avg(src(g)).alias(f"{prefix}_{g}") for g in gamma_cols]
 
 
 # ------------------------------------------------------ hurdle Gamma (cpar) --
@@ -64,13 +70,15 @@ def hurdle_gamma_product_expr(
     return reduce(lambda x, y: x * y, terms)
 
 
-def cpar_fit_aggs(gamma_cols: list[str], prefix: str) -> list[Column]:
+def cpar_fit_aggs(gamma_cols: list[str], prefix: str,
+                  where: Column | None = None) -> list[Column]:
     """Sufficient statistics per variable for the hurdle-Gamma fit:
     p0 = mean(γ==0) (A2), n⁺, Σγ⁺, Σlog γ⁺ for the Choi–Wette Newton solve
-    (A4), mean(γ⁺) (A3)."""
+    (A4), mean(γ⁺) (A3). ``where`` restricts the fit set null-safely (see
+    binary_fit_aggs) so sides fuse into one pass."""
     aggs: list[Column] = []
     for g in gamma_cols:
-        c = F.col(g)
+        c = F.when(where, F.col(g)) if where is not None else F.col(g)
         pos = F.when(c > 0, c)
         aggs += [
             F.avg((c == 0).cast("double")).alias(f"{prefix}_p0_{g}"),

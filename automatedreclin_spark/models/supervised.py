@@ -2,8 +2,12 @@
 
 Re-expresses ``train_rec_lin()`` (supervised_learning.R:142-434) and
 ``predict.rec_lin_model()`` (predict.R:115-273). Training is single-shot —
-M and U are known from labels — so the whole fit is ONE aggregation pass per
-side plus driver-side Newton solves for the Gamma shapes. Prediction scores a
+M and U are known from labels — so the whole fit is ONE fused
+conditional-aggregation pass over Ω (|Ω| count, C5 finite guard, M-side +
+denominator sufficient statistics, prob-ratio-2 feasibility, cnonpar hurdle
+masses) plus driver-side Newton solves for the Gamma shapes; the training
+cross product streams through partial aggregates and is never materialized
+(except for KLIEP sample collection). Prediction scores a
 new Ω with the stored parameters (pure column expression) and derives n_M
 either in closed form (prob-ratio "1") or via a driver-side Newton-accelerated
 fixed point whose every function evaluation is a single agg over the cached
@@ -23,9 +27,15 @@ from pyspark.storagelevel import StorageLevel
 
 from automatedreclin_spark.models import families as fam
 from automatedreclin_spark.models.mec import _validate_methods
-from automatedreclin_spark.operators.comparison import comparison_vectors, gamma_name
+from automatedreclin_spark.operators.comparison import (
+    comparison_vectors,
+    finite_gamma_aggs,
+    gamma_name,
+    raise_if_nonfinite,
+)
 from automatedreclin_spark.operators.pairs import (
     has_perfect_agreement,
+    label_pairs,
     validate_pairs_membership,
 )
 from automatedreclin_spark.operators.selection import summarize_mec_selection
@@ -98,14 +108,16 @@ def train_rec_lin(
 
     validate_pairs_membership(matches, A, B, a_col=a_col, b_col=b_col)
 
+    # check_finite=False: the C5 guard is FUSED into the training aggregation
+    # below instead of paying its own pass — training Ω is the full A×B cross
+    # product (reference semantics: the denominator statistics come from all
+    # pairs, supervised_learning.R:142-254), so every avoided pass matters.
     cv = comparison_vectors(
-        A, B, variables, comparators=comparators, matches=matches,
-        a_col=a_col, b_col=b_col,
+        A, B, variables, comparators=comparators,
+        a_col=a_col, b_col=b_col, check_finite=False,
     )
-    omega = cv.omega.persist(StorageLevel.MEMORY_AND_DISK)
-    n = cv.n
+    omega = label_pairs(cv.omega, matches)
     n_M = matches.count()
-    pi_est = n_M / n
 
     b_vars = [v for v in variables if methods[v] == "binary"]
     cpar_vars = [v for v in variables if methods[v] == "continuous_parametric"]
@@ -114,51 +126,74 @@ def train_rec_lin(
     cpar_gammas = [gamma_name(v) for v in cpar_vars]
     cnonpar_gammas = [gamma_name(v) for v in cnonpar_vars]
 
-    M = omega.filter(F.col("match") == 1)
-    U = omega.filter(F.col("match") == 0)
+    # ---- ONE streaming aggregation over Ω ---------------------------------
+    # Training is single-shot (M and U are known from labels), so |Ω|, the C5
+    # finite guard, M-side and denominator sufficient statistics, the
+    # prob-ratio-2 feasibility checks, and the cnonpar hurdle masses all fuse
+    # into a single conditional-aggregation job: the cross product streams
+    # through partial aggregates once and is NEVER materialized or persisted
+    # (the KLIEP sample collection below is the only exception).
+    is_match = F.col("match") == 1
+    aggs: list = [F.count(F.lit(1)).alias("_n")]
+    aggs += finite_gamma_aggs(cv.gamma_cols)
+    if b_gammas:
+        aggs += fam.binary_fit_aggs(b_gammas, "theta", where=is_match)
+        aggs += fam.binary_fit_aggs(b_gammas, "eta")          # Ω denominator
+    if cpar_gammas:
+        aggs += fam.cpar_fit_aggs(cpar_gammas, "M", where=is_match)
+        aggs += fam.cpar_fit_aggs(cpar_gammas, "D")           # Ω denominator
+    if prob_ratio == "2":
+        # U-denominated statistics + the feasibility checks, computed in the
+        # same pass; which set is used is decided after the collect.
+        if b_gammas:
+            aggs += fam.binary_fit_aggs(b_gammas, "etaU", where=~is_match)
+        if cpar_gammas:
+            aggs += fam.cpar_fit_aggs(cpar_gammas, "DU", where=~is_match)
+        for v in variables:
+            g = F.col(gamma_name(v))
+            agree = (g == 1) if methods[v] == "binary" else (g == 0)
+            aggs.append(
+                F.max(F.when(~is_match, agree.cast("int"))).alias(f"_chk_{gamma_name(v)}")
+            )
+    for g in cnonpar_gammas:
+        zero = (F.col(g) == 0).cast("double")
+        aggs.append(F.avg(F.when(is_match, zero)).alias(f"_p0m_{g}"))
+        aggs.append(F.avg(zero).alias(f"_p0o_{g}"))
+        aggs.append(F.avg(F.when(~is_match, zero)).alias(f"_p0u_{g}"))
+
+    row = omega.agg(*aggs).collect()[0].asDict()
+    raise_if_nonfinite(row, variables, cv.gamma_cols)
+    n = int(row["_n"])
+    cv._n = n
+    cv.match_prop = n_M / n * max(cv.n_A, cv.n_B) if n else None
+    pi_est = n_M / n
 
     # prob-ratio "2" feasibility: every variable must show agreement among the
     # nonmatches, else downgrade to "1" with a warning
     # (supervised_learning.R:220-236).
     if prob_ratio == "2":
-        checks = []
-        for v in variables:
-            g = F.col(gamma_name(v))
-            agree = (g == 1) if methods[v] == "binary" else (g == 0)
-            checks.append(F.max(agree.cast("int")).alias(v))
-        row = U.agg(*checks).collect()[0].asDict()
-        if not all(row[v] == 1 for v in variables):
+        ok = all(int(row[f"_chk_{gamma_name(v)}"] or 0) == 1 for v in variables)
+        if not ok:
             prob_ratio = "1"
             warnings.warn(
                 'Some variables lack common values between the unmatches. '
                 'Switching the probability ratio to "1".'
             )
 
-    denom_df = omega if prob_ratio == "1" else U
     denom_label = "Omega" if prob_ratio == "1" else "U"
-
-    m_aggs: list = []
-    d_aggs: list = []
-    if b_gammas:
-        m_aggs += fam.binary_fit_aggs(b_gammas, "theta")
-        d_aggs += fam.binary_fit_aggs(b_gammas, "eta")
-    if cpar_gammas:
-        m_aggs += fam.cpar_fit_aggs(cpar_gammas, "M")
-        d_aggs += fam.cpar_fit_aggs(cpar_gammas, "D")
+    d_b_prefix = "eta" if prob_ratio == "1" else "etaU"
+    d_c_prefix = "D" if prob_ratio == "1" else "DU"
 
     b_params = cpar_params = None
-    m_row = M.agg(*m_aggs).collect()[0].asDict() if m_aggs else {}
-    d_row = denom_df.agg(*d_aggs).collect()[0].asDict() if d_aggs else {}
-
     if b_gammas:
         b_params = pd.DataFrame({
             "variable": b_gammas,
-            "theta": [float(m_row[f"theta_{g}"]) for g in b_gammas],
-            "eta": [float(d_row[f"eta_{g}"]) for g in b_gammas],
+            "theta": [float(row[f"theta_{g}"]) for g in b_gammas],
+            "eta": [float(row[f"{d_b_prefix}_{g}"]) for g in b_gammas],
         })
     if cpar_gammas:
-        p_0_M, alpha_M, beta_M = fam.cpar_params_from_row(m_row, cpar_gammas, "M")
-        p_0_D, alpha_D, beta_D = fam.cpar_params_from_row(d_row, cpar_gammas, "D")
+        p_0_M, alpha_M, beta_M = fam.cpar_params_from_row(row, cpar_gammas, "M")
+        p_0_D, alpha_D, beta_D = fam.cpar_params_from_row(row, cpar_gammas, d_c_prefix)
         cpar_params = pd.DataFrame({
             "variable": cpar_gammas,
             "p_0_M": p_0_M, f"p_0_{denom_label}": p_0_D,
@@ -170,18 +205,18 @@ def train_rec_lin(
     kliep_models: dict | None = None
     if cnonpar_gammas:
         # One-shot KLIEP hurdle fit: M vs Ω (ratio-1) or U (ratio-2)
-        # (supervised_learning.R:323-407).
+        # (supervised_learning.R:323-407). The hurdle masses came out of the
+        # fused aggregation; only the KLIEP SAMPLE collection still needs
+        # extra passes over Ω, so this is the one branch that persists it.
         from automatedreclin_spark.models.kliep import (
             collect_positive_gammas,
             fit_kliep,
         )
 
-        p0m = M.agg(*[
-            F.avg((F.col(g) == 0).cast("double")).alias(g) for g in cnonpar_gammas
-        ]).collect()[0].asDict()
-        p0d = denom_df.agg(*[
-            F.avg((F.col(g) == 0).cast("double")).alias(g) for g in cnonpar_gammas
-        ]).collect()[0].asDict()
+        omega = omega.persist(StorageLevel.MEMORY_AND_DISK)
+        M = omega.filter(is_match)
+        denom_df = omega if prob_ratio == "1" else omega.filter(~is_match)
+        p0d_key = "_p0o_" if prob_ratio == "1" else "_p0u_"
         kliep_models = {}
         missing = []
         for g in cnonpar_gammas:
@@ -203,11 +238,11 @@ def train_rec_lin(
             )
         cnonpar_params = pd.DataFrame({
             "variable": cnonpar_gammas,
-            "p_0_M_cnonpar": [float(p0m[g]) for g in cnonpar_gammas],
-            "p_0_U_cnonpar": [float(p0d[g]) for g in cnonpar_gammas],
+            "p_0_M_cnonpar": [float(row[f"_p0m_{g}"]) for g in cnonpar_gammas],
+            "p_0_U_cnonpar": [float(row[f"{p0d_key}{g}"]) for g in cnonpar_gammas],
         })
+        omega.unpersist()
 
-    omega.unpersist()
     return RecLinModel(
         variables=variables,
         comparators=cv.comparators,

@@ -156,17 +156,22 @@ def comparison_vectors(
     return result
 
 
-def _assert_finite_gammas(omega: DataFrame, variables: list[str], gamma_cols: list[str]) -> None:
-    """Non-finite gamma guard (C5) — single aggregation pass over all gamma
-    columns; raises with the reference's message shape."""
-    aggs = [
+def finite_gamma_aggs(gamma_cols: list[str]) -> list:
+    """Per-gamma non-finite counters (C5) as aggregate expressions, aliased
+    ``_nf_<gamma>`` so callers can FUSE the guard into an existing
+    aggregation job instead of paying a dedicated pass over Ω."""
+    return [
         F.sum(
             F.when(F.col(g).isNull() | F.isnan(g) | (F.abs(F.col(g)) == float("inf")), 1).otherwise(0)
-        ).alias(g)
+        ).alias(f"_nf_{g}")
         for g in gamma_cols
     ]
-    counts = omega.agg(*aggs).collect()[0].asDict()
-    bad = [(v, counts[g]) for v, g in zip(variables, gamma_cols) if counts[g]]
+
+
+def raise_if_nonfinite(counts: dict, variables: list[str], gamma_cols: list[str]) -> None:
+    """Raise the reference-shaped C5 error from fused ``_nf_<gamma>`` counts."""
+    bad = [(v, counts[f"_nf_{g}"]) for v, g in zip(variables, gamma_cols)
+           if counts[f"_nf_{g}"]]
     if bad:
         details = ", ".join(
             f"{v} ({c} invalid value{'s' if c != 1 else ''})" for v, c in bad
@@ -176,3 +181,10 @@ def _assert_finite_gammas(omega: DataFrame, variables: list[str], gamma_cols: li
             f"{details}. Please handle missing key values or adjust comparators "
             "before running record linkage."
         )
+
+
+def _assert_finite_gammas(omega: DataFrame, variables: list[str], gamma_cols: list[str]) -> None:
+    """Non-finite gamma guard (C5) — single aggregation pass over all gamma
+    columns; raises with the reference's message shape."""
+    counts = omega.agg(*finite_gamma_aggs(gamma_cols)).collect()[0].asDict()
+    raise_if_nonfinite(counts, variables, gamma_cols)

@@ -230,3 +230,36 @@ def test_kliep_control_inherits_explicit_kwargs():
     # and a set control field still wins over the kwarg default
     m2 = fit_kliep(x_num, x_den, control=KliepControl(n_centers=25))
     assert len(m2.centers) == 25
+
+
+def test_train_is_single_pass_no_persist(tables, spark):
+    """Scale contract for supervised training: on the binary/cpar path the
+    full-cross-product Ω streams through ONE fused conditional aggregation —
+    no persist (nothing cached after training) and exactly one job touches
+    Ω (the C5 guard, |Ω|, M-side, denominator, and feasibility stats all
+    come out of the same collect)."""
+    A, B, matches, *_ = tables
+
+    before = {r for r in spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()}
+    model = train_rec_lin(A, B, matches, variables=["name", "surname"])
+    after = {r for r in spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()}
+    assert after <= before, "binary-path training must not persist Ω"
+    assert list(model.b_params["theta"]) == pytest.approx([0.5, 0.5], abs=1e-12)
+    assert list(model.b_params["eta"]) == pytest.approx([0.02, 0.02], abs=1e-12)
+
+    # ratio-2 FEASIBLE toy (both variables agree somewhere among nonmatches):
+    # the fused pass must pick the U-denominated statistics without a second
+    # scan and without downgrading.
+    A2 = spark.createDataFrame(pd.DataFrame({
+        "a": [1, 2], "name": ["john", "anna"], "surname": ["smith", "jones"]}))
+    B2 = spark.createDataFrame(pd.DataFrame({
+        "b": [1, 2, 3], "name": ["john", "anna", "john"],
+        "surname": ["smith", "jones", "jones"]}))
+    m2 = spark.createDataFrame(pd.DataFrame({"a": [1, 2], "b": [1, 2]}))
+    model2 = train_rec_lin(A2, B2, m2, variables=["name", "surname"],
+                           prob_ratio="2")
+    assert model2.prob_ratio == "2"
+    # U = {(1,2),(1,3),(2,1),(2,3)}: name agrees on (1,3) → eta_name = 1/4;
+    # surname agrees on (2,3) → eta_surname = 1/4
+    assert list(model2.b_params["eta"]) == pytest.approx([0.25, 0.25], abs=1e-12)
+    assert list(model2.b_params["theta"]) == pytest.approx([1.0, 1.0], abs=1e-12)
