@@ -36,7 +36,12 @@ from pyspark.storagelevel import StorageLevel
 from automatedreclin_spark.functions.numerics import gamma_shape_newton
 from automatedreclin_spark.models import families as fam
 from automatedreclin_spark.operators.blocking import BlockSummary, block_summary
-from automatedreclin_spark.operators.comparison import comparison_vectors, gamma_name
+from automatedreclin_spark.operators.comparison import (
+    comparison_vectors,
+    finite_gamma_aggs,
+    gamma_name,
+    raise_if_nonfinite,
+)
 from automatedreclin_spark.operators.pairs import block_pairs
 from automatedreclin_spark.operators.selection import retain_top_n, select_mec_pairs
 from automatedreclin_spark.evaluation import evaluation, get_metrics, get_confusion
@@ -285,13 +290,15 @@ def blocked_mec(
         nu = int(
             summary_df.agg(F.sum(_cap)).collect()[0][0] or 0
         )
+    # check_finite=False: the C5 guard and |Ω| fuse into one aggregation over
+    # the PERSISTED Ω below — it doubles as the cache-materializing pass, so
+    # the comparator UDFs execute exactly once per pair for the whole fit
+    # (previously the guard and the count each re-ran the uncached scan).
     cv = comparison_vectors(
         A, B, variables, comparators=comparators, pairs=pair_df,
-        a_col=a_col, b_col=b_col,
+        a_col=a_col, b_col=b_col, check_finite=False,
     )
     omega = cv.omega
-    N = cv.n
-    n_U_min = N - nu
 
     b_vars = [v for v in variables if methods[v] == "binary"]
     cpar_vars = [v for v in variables if methods[v] == "continuous_parametric"]
@@ -320,6 +327,13 @@ def blocked_mec(
     omega = omega.withColumn("init_disagreement", init_norm).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    _guard_row = omega.agg(
+        F.count(F.lit(1)).alias("_n"), *finite_gamma_aggs(cv.gamma_cols)
+    ).collect()[0].asDict()
+    raise_if_nonfinite(_guard_row, variables, cv.gamma_cols)
+    N = int(_guard_row["_n"])
+    cv._n = N
+    n_U_min = N - nu
 
     M = select_mec_pairs(
         omega, float(max(0, nu)), block_col="block", ascending=True,

@@ -35,7 +35,12 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from automatedreclin_spark.models import families as fam
-from automatedreclin_spark.operators.comparison import comparison_vectors, gamma_name
+from automatedreclin_spark.operators.comparison import (
+    comparison_vectors,
+    finite_gamma_aggs,
+    gamma_name,
+    raise_if_nonfinite,
+)
 from automatedreclin_spark.operators.pairs import exact_match_pairs, has_perfect_agreement
 from automatedreclin_spark.operators.selection import (
     SelectionSummary,
@@ -148,12 +153,14 @@ def mec(
     if comparators:
         comparators = {k: v for k, v in comparators.items() if k in variables}
 
+    # check_finite=False: the C5 guard fuses into the init aggregation below
+    # (same error, one less full pass over Ω — comparator UDFs are the
+    # expensive part of every uncached scan).
     cv = comparison_vectors(
         A, B, variables, comparators=comparators, pairs=pairs,
-        a_col=a_col, b_col=b_col,
+        a_col=a_col, b_col=b_col, check_finite=False,
     )
     omega = cv.omega
-    n = cv.n
     n_A, n_B = cv.n_A, cv.n_B
     cap = float(min(n_A, n_B))
 
@@ -184,7 +191,14 @@ def mec(
         start_params["hit_miss"] = {"theta": rng.uniform(0.9, 1.0, len(hm_gammas)).tolist()}
 
     # ---- init: U-side ("denominator") parameters from ALL of Ω -------------
-    init_aggs: list = []
+    # One fused aggregation: |Ω|, the C5 finite guard, and every family's
+    # U-side sufficient statistics. On the non-cnonpar path the gamma base is
+    # persisted FIRST, so this init pass is also the cache-materializing pass
+    # — comparators execute exactly once per pair for the whole fit.
+    if not cnonpar_gammas:
+        omega = omega.persist(StorageLevel.MEMORY_AND_DISK)
+    init_aggs: list = [F.count(F.lit(1)).alias("_n")]
+    init_aggs += finite_gamma_aggs(cv.gamma_cols)
     if b_gammas:
         init_aggs += fam.binary_fit_aggs(b_gammas, "eta")
     if cpar_gammas:
@@ -197,6 +211,9 @@ def mec(
     if hm_gammas:
         init_aggs += fam.binary_fit_aggs(hm_gammas, "hm_eta")
     init_row = omega.agg(*init_aggs).collect()[0].asDict()
+    raise_if_nonfinite(init_row, variables, cv.gamma_cols)
+    n = int(init_row["_n"])
+    cv._n = n
 
     theta_b = list(start_params.get("binary", {}).get("theta", []))
     eta_b = [float(init_row[f"eta_{g}"]) for g in b_gammas]
@@ -243,7 +260,12 @@ def mec(
             seeds.select("a", "b").withColumn("_is_seed", F.lit(True)),
             ["a", "b"], "left",
         ).withColumn("_is_seed", F.coalesce("_is_seed", F.lit(False)))
-    omega = omega.withColumns(denom_cols).persist(StorageLevel.MEMORY_AND_DISK)
+        omega = omega.withColumns(denom_cols).persist(StorageLevel.MEMORY_AND_DISK)
+    else:
+        # The gamma base is already persisted (init pass materialized it);
+        # the invariant denominators are pure column arithmetic over cached
+        # gammas, so they stay a LAZY projection — no second cache copy.
+        omega = omega.withColumns(denom_cols)
 
     cnonpar_expr = None
     np_p0_M: list[float] = []

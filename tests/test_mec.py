@@ -290,3 +290,21 @@ def test_hit_miss_reseed_flag(data):
     assert list(m1["a"]) == [1, 2, 3, 4]
     assert list(m1["b"]) == [1, 2, 3, 4]
     assert list(r1.hm_params["theta"]) == pytest.approx([1.0, 1.0], abs=1e-12)
+
+
+def test_mec_fused_finite_guard_still_raises(spark):
+    """mec() fuses the C5 non-finite guard into its init aggregation
+    (check_finite=False + finite_gamma_aggs); the reference-shaped error must
+    still surface for a comparator that emits NaN."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    A = spark.createDataFrame(pd.DataFrame({"a": [1, 2], "name": ["x", "y"]}))
+    B = spark.createDataFrame(pd.DataFrame({"b": [1, 2], "name": ["x", "z"]}))
+
+    def nan_comparator(ca, cb):
+        return F.when(ca == cb, float("nan")).otherwise(0.0)
+
+    with pytest.raises(ValueError, match="missing or non-finite"):
+        mec(A, B, variables=["name"], comparators={"name": nan_comparator},
+            methods={"name": "continuous_parametric"})
