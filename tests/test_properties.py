@@ -82,3 +82,23 @@ def test_greedy_budget_monotone(inst):
         sel = list(greedy_select_local(a, b, ratio, float(k)))
         assert sel[: len(prev)] == prev
         prev = sel
+
+
+@given(_pair_instances(), st.floats(0, 20, allow_nan=False))
+@settings(max_examples=200, deadline=None)
+def test_greedy_duplicates_in_A_b_side_free(inst, n_M):
+    """duplicates_in_A=True (internals.R:525-533): A ids unique in the
+    selection, B ids free to repeat, budget respected, and the selection is
+    never smaller than the one-to-one selection under the same budget (a
+    relaxed constraint can only admit more pairs)."""
+    a, b, ratio = inst
+    sel_dup = greedy_select_local(a, b, ratio, n_M, duplicates_in_A=True)
+    assert len(set(a[sel_dup])) == len(sel_dup)
+    if round(n_M) > 0:
+        assert len(sel_dup) <= round(n_M)
+    else:
+        assert len(sel_dup) == 0
+    ratios = ratio[sel_dup]
+    assert all(ratios[i] >= ratios[i + 1] - 1e-12 for i in range(len(ratios) - 1))
+    sel_one = greedy_select_local(a, b, ratio, n_M)
+    assert len(sel_dup) >= len(sel_one)
