@@ -138,3 +138,31 @@ def test_multiple_pandas_udf_gammas_fuse_into_one_arrow_pass(spark):
     )
     plan = _plan(cv.omega)
     assert plan.count("ArrowEvalPython") == 1
+
+
+def test_mec_iterations_scan_narrow_cached_gamma_base(spark):
+    """The fit's scale contract after the single-comparator-execution fusion:
+    iteration scans must read a CACHED gamma base (InMemoryRelation) whose
+    schema is the NARROW (a, b, gamma_*) set — the invariant denominator
+    columns stay a lazy codegen projection over it, not a second cached
+    copy, and no uncached re-expansion of Ω appears in the final plan."""
+    import re
+
+    import pandas as pd
+
+    from automatedreclin_spark.models.mec import mec
+
+    rows_a = [(i, f"n{i % 9}", f"s{i % 5}") for i in range(40)]
+    rows_b = [(i, f"n{i % 9}", f"s{(i + (i % 3 == 0)) % 5}") for i in range(40)]
+    A = spark.createDataFrame(pd.DataFrame(rows_a, columns=["a", "name", "surname"]))
+    B = spark.createDataFrame(pd.DataFrame(rows_b, columns=["b", "name", "surname"]))
+    res = mec(A, B, variables=["name", "surname"], max_iter=3,
+              delta=0.0, eps=0.0)
+    plan = _plan(res.scored)
+    rels = re.findall(r"InMemoryRelation \[([^\]]*)\]", plan)
+    assert rels, plan
+    narrow = [r for r in rels if "denominator" not in r and "gamma_name" in r]
+    assert narrow, f"no narrow cached gamma base in plan: {rels}"
+    # the denominator is computed by a projection, not stored in that cache
+    assert any("denominator" in ln and "Project" in ln
+               for ln in plan.splitlines()), plan
