@@ -332,11 +332,14 @@ def predict_rec_lin(
     b_col: str = "b",
 ) -> RecLinPredictions:
     """Score new record sets with a trained model and build the match set."""
+    # check_finite=False: the C5 guard and |Ω| fuse into the first
+    # aggregation over the PERSISTED scored Ω below — that aggregation is
+    # also the cache-materializing pass, so the comparators run exactly once
+    # per pair (previously: guard pass + count pass + materialization).
     cv = comparison_vectors(
         newdata_A, newdata_B, model.variables, comparators=model.comparators,
-        pairs=pairs, a_col=a_col, b_col=b_col,
+        pairs=pairs, a_col=a_col, b_col=b_col, check_finite=False,
     )
-    n = cv.n
     n_A, n_B = cv.n_A, cv.n_B
     prob_est = model.match_prop / max(n_A, n_B)
 
@@ -350,17 +353,41 @@ def predict_rec_lin(
         scored = _score_ratio(cv.omega, model)
     scored = scored.persist(StorageLevel.MEMORY_AND_DISK)
 
+    guard_pairs = [(v, g) for v, g in zip(model.variables, cv.gamma_cols)
+                   if g in scored.columns]
+    if len(guard_pairs) < len(cv.gamma_cols):
+        # Rare custom-ml path that dropped gamma columns: run the standalone
+        # guard on the raw Ω instead (one extra pass, custom models only).
+        from automatedreclin_spark.operators.comparison import _assert_finite_gammas
+
+        _assert_finite_gammas(cv.omega, model.variables, cv.gamma_cols)
+        guard_pairs = []
+    guard_vars = [v for v, _ in guard_pairs]
+    guard_cols = [g for _, g in guard_pairs]
+    base_aggs = [F.count(F.lit(1)).alias("_n")] + finite_gamma_aggs(guard_cols)
+
     n_M_start = float(min(n_A, n_B))
     if model.prob_ratio == "1" and model.ml_model is None:
-        # Ratio-I shortcut: ĝ = min(prob_est · r, 1) (predict.R:202-207).
+        # Ratio-I shortcut: ĝ = min(prob_est · r, 1) (predict.R:202-207) —
+        # |Ω|, the guard counters and Σĝ come out of one fused agg.
         scored = scored.withColumn(
             "g_est", F.least(F.lit(1.0), F.lit(prob_est) * F.col("ratio"))
         )
-        g_sum = scored.agg(F.sum("g_est")).collect()[0][0]
-        n_M_est = min(float(g_sum), n_M_start)
+        row = scored.agg(*base_aggs, F.sum("g_est").alias("_g_sum")) \
+            .collect()[0].asDict()
+        raise_if_nonfinite(row, guard_vars, guard_cols)
+        n = int(row["_n"])
+        cv._n = n
+        n_M_est = min(float(row["_g_sum"]), n_M_start)
     else:
-        # Fixed-point Newton for n_M (predict.R:208-217); each evaluation is
-        # one agg over the cached scored Ω.
+        # Priming fused agg (materializes the cache, checks the guard, gives
+        # |Ω|), then the fixed-point Newton for n_M (predict.R:208-217) —
+        # each evaluation is one agg over the cached scored Ω.
+        row = scored.agg(*base_aggs).collect()[0].asDict()
+        raise_if_nonfinite(row, guard_vars, guard_cols)
+        n = int(row["_n"])
+        cv._n = n
+
         def f(n_M: float) -> float:
             return float(
                 scored.agg(F.sum(fam.g_est_expr(n_M, n))).collect()[0][0]
