@@ -91,8 +91,17 @@ class CheckpointManager:
         inputs_rows: dict[str, int] = {}
         for up in inputs or []:
             m = self.manifest(up)
-            if m is not None:
-                inputs_rows[up] = int(m["rows"])
+            if m is None:
+                # Inputs are declared by the caller and must already be
+                # committed (stages commit strictly before their consumers).
+                # Skipping silently would record a partial rows_in that looks
+                # like complete lineage — fail loudly instead.
+                raise ValueError(
+                    f"stage {name!r} declares input {up!r} but no committed "
+                    "manifest exists for it (typo, or the upstream stage was "
+                    "never committed)"
+                )
+            inputs_rows[up] = int(m["rows"])
         rows_in = sum(inputs_rows.values()) if inputs_rows else None
 
         manifest = {

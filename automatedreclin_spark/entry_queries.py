@@ -1161,3 +1161,228 @@ FROM scored
 
 QUERIES["score_ratio_fixed_params"] = q_score_ratio_fixed_params
 ORACLES["score_ratio_fixed_params"] = _score_ratio_oracle()
+
+
+# ---------------------- r4: T6 alpha path / flr bisection / dups-in-A -------
+#
+# These three queries exist so CORRECTNESS and BENCH gate the library's
+# scale paths every round (VERDICT r3 #4): the alpha U-drop's sketch
+# retention (T6, internals.R:1831-1839), the flr/mmr DISTRIBUTED threshold
+# bisection (forced via exact_collect_max=0), and the duplicates_in_A
+# selection mode. Each emits its structural contract as an invariant table
+# plus data-dependent anchors DuckDB recomputes independently.
+
+def q_blocked_mec_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked inverted MEC with alpha=0.25 and a continuous name gamma —
+    every iteration past the first runs the ranked U-retention
+    (retain_top_n sketch cut over the continuous q_est scores). Contract:
+    the blocked-MEC structural invariants PLUS the alpha arithmetic of
+    internals.R:1824-1839 — n_U_fit = n_U − floor(alpha·n_U) on every
+    applied iteration, valid reason codes, and ≥1 actually-applied drop
+    (else the path under test never ran)."""
+    from automatedreclin_spark.models.blocked_mec import blocked_mec
+
+    A, B = _record_sets(spark, sf_dir)
+    res = blocked_mec(
+        A, B, variables=["name", "seg"],
+        comparators={"name": levenshtein_norm(), "seg": cmp_identical()},
+        methods={"name": "continuous_parametric", "seg": "binary"},
+        alpha=0.25,
+    )
+    M = res.M_est
+    agg = M.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.count_distinct("a").alias("da"),
+        F.count_distinct("b").alias("db"),
+    ).collect()[0]
+    cnt = int(agg["cnt"])
+    diag = res.u_fit_diagnostics
+    valid_reasons = {"first_u_fit_full", "alpha_zero", "requested_drop_zero",
+                     "alpha_reliability_drop", "minimum_sample_full_base"}
+    bad_reason = int((~diag["reason"].isin(valid_reasons)).sum())
+    applied = diag[diag["alpha_applied"]]
+    # internals.R:1824: S_U keeps n_U - floor(alpha * n_U) rows
+    drop_viol = int((applied["n_U_fit"]
+                     != applied["n_U_current"] - applied["requested_n_drop"]).sum())
+    req_viol = int((diag["requested_n_drop"]
+                    != (0.25 * diag["n_U_current"]).astype(int)).sum())
+    return _invariant_df(spark, [
+        ("m_size_minus_n_m_est", float(cnt - res.n_M_est)),
+        ("one_to_one_a_violations", float(cnt - int(agg["da"]))),
+        ("one_to_one_b_violations", float(cnt - int(agg["db"]))),
+        ("n_m_plus_n_u_minus_n", float(res.n_M_est + res.n_U_est - res.candidate_pair_count)),
+        ("n_u_ge_n_u_min", 1.0 if res.n_U_est >= res.n_U_min else 0.0),
+        ("alpha_applied_any", 1.0 if len(applied) > 0 else 0.0),
+        ("alpha_drop_arithmetic_violations", float(drop_viol)),
+        ("requested_drop_arithmetic_violations", float(req_viol)),
+        ("invalid_reason_codes", float(bad_reason)),
+        ("first_iter_full_base", 1.0 if (len(diag) > 0
+            and diag.iloc[0]["reason"] == "first_u_fit_full"
+            and diag.iloc[0]["n_U_fit"] == diag.iloc[0]["n_U_current"]) else 0.0),
+        ("nu", float(res.nu)),
+        ("n_u_min", float(res.n_U_min)),
+        ("n_candidate_pairs", float(res.candidate_pair_count)),
+    ])
+
+
+ORACLE_BLOCKED_MEC_ALPHA = f"""
+WITH A AS ({_SQL_A}), B AS ({_SQL_B}),
+ac AS (SELECT block, COUNT(*) AS na FROM A GROUP BY block),
+bc AS (SELECT block, COUNT(*) AS nb FROM B GROUP BY block),
+bs AS (SELECT na, nb FROM ac JOIN bc USING (block))
+SELECT 'm_size_minus_n_m_est' AS metric, 0.0 AS value
+UNION ALL SELECT 'one_to_one_a_violations', 0.0
+UNION ALL SELECT 'one_to_one_b_violations', 0.0
+UNION ALL SELECT 'n_m_plus_n_u_minus_n', 0.0
+UNION ALL SELECT 'n_u_ge_n_u_min', 1.0
+UNION ALL SELECT 'alpha_applied_any', 1.0
+UNION ALL SELECT 'alpha_drop_arithmetic_violations', 0.0
+UNION ALL SELECT 'requested_drop_arithmetic_violations', 0.0
+UNION ALL SELECT 'invalid_reason_codes', 0.0
+UNION ALL SELECT 'first_iter_full_base', 1.0
+UNION ALL SELECT 'nu', (SELECT SUM(least(na, nb)) FROM bs)::DOUBLE
+UNION ALL SELECT 'n_u_min',
+  (SELECT SUM(na * nb) - SUM(least(na, nb)) FROM bs)::DOUBLE
+UNION ALL SELECT 'n_candidate_pairs', (SELECT SUM(na * nb) FROM bs)::DOUBLE
+"""
+
+
+def q_mec_flr_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEC fit with set_construction='flr' over a CONTINUOUS ratio
+    distribution, with the exact-collect strategy disabled
+    (exact_collect_max=0) so the DISTRIBUTED dyadic-prefetch bisection is
+    the path under test. Contract: the strategy gate itself, the threshold-
+    set filter property (min selected ratio strictly separates from max
+    excluded ratio), rate/selected-set consistency, and termination — plus
+    anchors (candidate count, rounded distinct continuous gammas) DuckDB
+    recomputes."""
+    from automatedreclin_spark.models.mec import mec as _mec
+
+    A, B = _record_sets(spark, sf_dir)
+    res = _mec(
+        A, B, variables=["name", "seg"],
+        comparators={"name": levenshtein_norm(), "seg": cmp_identical()},
+        methods={"name": "continuous_parametric", "seg": "binary"},
+        pairs=block_pairs(A, B, dedup=False).select("block", "a", "b"),
+        block_col="block",
+        set_construction="flr", target_rate=0.05, tol=0.01,
+        max_iter_bisection=100,
+        exact_collect_max=0,
+    )
+    sel = res.M_est.select("a", "b", "ratio")
+    n_sel = sel.count()
+    scored = res.scored
+    row = scored.join(sel.select("a", "b"), ["a", "b"], "left_semi").agg(
+        F.min("ratio").alias("min_sel"), F.sum("g_est").alias("g_sel"),
+        F.count(F.lit(1)).alias("cnt_sel"),
+    ).collect()[0]
+    # NaN ratios are legitimately excluded by the >= t filter and Spark's
+    # max() propagates NaN — mask them out of the separation bound.
+    max_excl = scored.join(sel.select("a", "b"), ["a", "b"], "left_anti").agg(
+        F.max(F.when(~F.isnan("ratio"), F.col("ratio")))).collect()[0][0]
+    sep_ok = (n_sel == 0 or max_excl is None
+              or float(row["min_sel"]) > float(max_excl))
+    flr_from_set = (float("inf") if not n_sel
+                    else 1.0 - float(row["g_sel"]) / int(row["cnt_sel"]))
+    consistent = (n_sel == int(row["cnt_sel"])
+                  and abs(flr_from_set - res.flr_est) < 1e-6)
+    terminated = (res.iter_bisection == 100
+                  or abs(res.flr_est - 0.05) <= 0.01)
+    n_distinct_lev = scored.select(
+        F.round("gamma_name", 6).alias("g")).distinct().count()
+    return _invariant_df(spark, [
+        ("bisection_strategy_distributed",
+         1.0 if res.bisection_strategy == "distributed" else 0.0),
+        ("threshold_set_separation", 1.0 if sep_ok else 0.0),
+        ("flr_consistent_with_selected", 1.0 if consistent else 0.0),
+        ("selected_subset_violations",
+         float(sel.join(scored.select("a", "b"), ["a", "b"], "left_anti").count())),
+        ("bisection_terminated_validly", 1.0 if terminated else 0.0),
+        ("n_candidate_pairs", float(res.n)),
+        ("n_distinct_gamma_lev_r6", float(n_distinct_lev)),
+    ])
+
+
+ORACLE_MEC_FLR = f"""
+WITH A AS ({_SQL_A}), B AS ({_SQL_B}),
+omega AS (
+  SELECT A.a, B.b,
+         ROUND(CASE WHEN greatest(length(A.name), length(B.name)) = 0 THEN 0.0
+               ELSE CAST(levenshtein(A.name, B.name) AS DOUBLE)
+                    / greatest(length(A.name), length(B.name)) END, 6) AS g_lev
+  FROM A JOIN B ON A.block = B.block
+)
+SELECT 'bisection_strategy_distributed' AS metric, 1.0 AS value
+UNION ALL SELECT 'threshold_set_separation', 1.0
+UNION ALL SELECT 'flr_consistent_with_selected', 1.0
+UNION ALL SELECT 'selected_subset_violations', 0.0
+UNION ALL SELECT 'bisection_terminated_validly', 1.0
+UNION ALL SELECT 'n_candidate_pairs', (SELECT COUNT(*) FROM omega)::DOUBLE
+UNION ALL SELECT 'n_distinct_gamma_lev_r6',
+  (SELECT COUNT(DISTINCT g_lev) FROM omega)::DOUBLE
+"""
+
+
+def q_blocked_mec_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked MEC with duplicates_in_A=True (B records may repeat,
+    internals.R:513-533): only the A side is one-to-one constrained, the
+    per-block structural cap becomes n_a, and ν = Σ n_a over blocks present
+    on both sides. block_estimates' nonmatches_min must never go negative
+    (blocks present only in A clamp to 0)."""
+    from automatedreclin_spark.models.blocked_mec import blocked_mec
+
+    A, B = _record_sets(spark, sf_dir)
+    res = blocked_mec(A, B, variables=["name", "seg"], duplicates_in_A=True)
+    M = res.M_est
+    agg = M.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.count_distinct("a").alias("da"),
+    ).collect()[0]
+    cnt = int(agg["cnt"])
+    a_sizes = A.groupBy("block").agg(F.count(F.lit(1)).alias("na"))
+    cap_viol = (
+        M.groupBy("block").agg(F.count(F.lit(1)).alias("m_h"))
+        .join(a_sizes, "block")
+        .filter(F.col("m_h") > F.col("na"))
+        .count()
+    )
+    neg_nm = res.block_estimates.filter(F.col("nonmatches_min") < 0).count()
+    return _invariant_df(spark, [
+        ("m_size_minus_n_m_est", float(cnt - res.n_M_est)),
+        ("one_to_one_a_violations", float(cnt - int(agg["da"]))),
+        ("per_block_a_cap_violations", float(cap_viol)),
+        ("negative_nonmatches_min_rows", float(neg_nm)),
+        ("n_m_plus_n_u_minus_n", float(res.n_M_est + res.n_U_est - res.candidate_pair_count)),
+        ("nu", float(res.nu)),
+        ("n_u_min", float(res.n_U_min)),
+        ("n_candidate_pairs", float(res.candidate_pair_count)),
+    ])
+
+
+ORACLE_BLOCKED_MEC_DUPS = f"""
+WITH A AS ({_SQL_A}), B AS ({_SQL_B}),
+ac AS (SELECT block, COUNT(*) AS na FROM A GROUP BY block),
+bc AS (SELECT block, COUNT(*) AS nb FROM B GROUP BY block),
+bs AS (SELECT na, nb FROM ac JOIN bc USING (block))
+SELECT 'm_size_minus_n_m_est' AS metric, 0.0 AS value
+UNION ALL SELECT 'one_to_one_a_violations', 0.0
+UNION ALL SELECT 'per_block_a_cap_violations', 0.0
+UNION ALL SELECT 'negative_nonmatches_min_rows', 0.0
+UNION ALL SELECT 'n_m_plus_n_u_minus_n', 0.0
+UNION ALL SELECT 'nu', (SELECT SUM(na) FROM bs)::DOUBLE
+UNION ALL SELECT 'n_u_min',
+  (SELECT SUM(na * nb) - SUM(na) FROM bs)::DOUBLE
+UNION ALL SELECT 'n_candidate_pairs', (SELECT SUM(na * nb) FROM bs)::DOUBLE
+"""
+
+
+QUERIES.update({
+    "blocked_mec_alpha": q_blocked_mec_alpha,
+    "mec_flr_customer": q_mec_flr_customer,
+    "blocked_mec_dups": q_blocked_mec_dups,
+})
+ORACLES.update({
+    "blocked_mec_alpha": ORACLE_BLOCKED_MEC_ALPHA,
+    "mec_flr_customer": ORACLE_MEC_FLR,
+    "blocked_mec_dups": ORACLE_BLOCKED_MEC_DUPS,
+})

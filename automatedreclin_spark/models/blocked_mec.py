@@ -270,8 +270,12 @@ def blocked_mec(
                               dedup=False)
         summary_df = summary.summary
         if duplicates_in_A:
+            # Blocks present only in A have n_b = 0 (block_summary full outer
+            # join) → pair_count = 0 while _cap = n_a > 0; clamp so the
+            # user-facing block_estimates never shows a negative bound.
             summary_df = summary_df.withColumn(
-                "nonmatches_min", F.col("pair_count") - _cap
+                "nonmatches_min",
+                F.greatest(F.lit(0), F.col("pair_count") - _cap),
             )
             nu = int(summary_df.agg(F.sum(
                 F.when((F.col("n_a") > 0) & (F.col("n_b") > 0), _cap).otherwise(0)

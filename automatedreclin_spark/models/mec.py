@@ -73,6 +73,9 @@ class MecResult:
     scored: DataFrame | None = None       # final Ω with ratio / g_est columns
     dropped_variables: list[str] = field(default_factory=list)
     convergence_reason: str | None = None
+    #: flr/mmr bisection strategy that ran ("exact_collect" | "distributed");
+    #: None in size mode. Lets oracles gate the distributed path.
+    bisection_strategy: str | None = None
     # Per-iteration diagnostics for the constant-depth invariant: wall seconds
     # and the analyzed-plan line count of the rebuilt scored Ω. The plan lines
     # MUST be constant from iteration 1 — any growth means lineage is
@@ -121,6 +124,7 @@ def mec(
     kliep_control=None,
     hit_miss_reseed: bool = False,
     verbose: bool = False,
+    exact_collect_max: int | None = None,
 ) -> MecResult:
     """Unsupervised MEC fit. ``A`` / ``B`` must carry record-id columns
     ``a_col`` / ``b_col`` (stable ids — NOT positional indices).
@@ -552,6 +556,7 @@ def mec(
         tol=tol,
         max_iter=max_iter_bisection,
         block_col=block_col,
+        exact_collect_max=exact_collect_max,
     )
     M_est = summary.selected.select("a", "b", "ratio")
 
@@ -572,6 +577,7 @@ def mec(
         flr_est=summary.flr_est,
         mmr_est=summary.mmr_est,
         iter_bisection=summary.iter,
+        bisection_strategy=summary.strategy,
         n=n,
         n_iter=n_iter,
         variables=variables,

@@ -101,6 +101,68 @@ def _block_greedy_pdf(pdf: pd.DataFrame, duplicates_in_A: bool, ascending: bool,
     return pdf.iloc[idx]
 
 
+#: Past this budget, the global top-n_target truncation of the survivor set
+#: routes through ``retain_top_n`` (sketch + conditional-count agg) instead of
+#: ``orderBy().limit()``: orderBy/limit compiles to TakeOrderedAndProject — a
+#: per-partition top-k merged ON THE DRIVER, which holds k rows in driver
+#: memory — or past topKSortFallbackThreshold to a global sort + single-
+#: partition GlobalLimit. Both are fine at 100k, fatal when n_target is in
+#: the billions (the north star's 10^12-record regime).
+TOPK_VIA_SORT_MAX = 100_000
+
+#: Broadcasting the selected-key set for the survivor rejoin costs
+#: ~(serialized keys + hashmap overhead) PER EXECUTOR; cap the byte estimate
+#: (Spark's own broadcast guidance is tens of MB), not a raw row count —
+#: the old 5M-row cap allowed ~80MB+ broadcasts.
+BROADCAST_KEYS_MAX_BYTES = 32 * 1024 * 1024
+_EST_BYTES_PER_KEY = 16  # two 64-bit record ids (strings are larger; estimate
+                         # stays conservative because overhead dominates)
+
+#: Unblocked Ω larger than this never hits the driver: the iterative
+#: mutual-best sweep (``greedy_one_to_one_distributed``) runs instead of the
+#: reference-faithful driver collect.
+MAX_UNBLOCKED_COLLECT = 5_000_000
+
+
+def _broadcast_selected_keys(n_keys: int) -> bool:
+    return n_keys * _EST_BYTES_PER_KEY <= BROADCAST_KEYS_MAX_BYTES
+
+
+def _never_sort_key(ascending: bool, invalid_to_never: bool):
+    """The global selection sort key mirroring greedy_select_local exactly:
+    Spark's orderBy sorts NaN GREATEST (before +Inf), but the per-block pandas
+    sweep and the reference sort NaN/NA *last* (internals.R:1712-1713); under
+    invalid_to_never negative scores are "never" too. Remap so a degenerate
+    0/0 ratio cannot jump the queue. NULL ratios (absent from the reference,
+    which only produces NA→NaN) are folded into "never" as well, so both
+    truncation strategies order them identically."""
+    never = float("inf") if ascending else float("-inf")
+    key = F.col("ratio")
+    bad = key.isNull() | F.isnan(key)
+    if invalid_to_never:
+        bad = bad | (key < 0)
+    return F.when(bad, F.lit(never)).otherwise(key)
+
+
+def _truncate_to_budget(survivors: DataFrame, n_target: int,
+                        ascending: bool, invalid_to_never: bool) -> DataFrame:
+    """Global top-n_target of the unbudgeted survivor set under
+    (ratio "never"-remapped asc/desc, a, b) — identical to truncating the
+    budgeted greedy scan (the budget only cuts the scan prefix, and scan
+    order IS this order). Small budgets take TakeOrderedAndProject (the
+    right plan for small k); large budgets take the sketch-based exact
+    top-n, which touches only sketch-error-sized boundary slices and never
+    funnels the survivor set through one task or the driver."""
+    sort_key = _never_sort_key(ascending, invalid_to_never)
+    if n_target <= TOPK_VIA_SORT_MAX:
+        order_cols = [sort_key.asc() if ascending else sort_key.desc(), "a", "b"]
+        return survivors.orderBy(*order_cols).limit(n_target)
+    ranked = survivors.withColumn("_sel_key", sort_key)
+    kept = retain_top_n(ranked, n_target, "_sel_key", tie_cols=("a", "b"),
+                        descending=not ascending)
+    return kept.drop("_sel_key")
+
+
 def select_mec_pairs(
     omega: DataFrame,
     n_M: float,
@@ -138,46 +200,53 @@ def select_mec_pairs(
             lambda pdf: _block_greedy_pdf(pdf, dup, asc, inv),
             schema=narrow.schema,
         )
-        # Global sort key mirrors greedy_select_local exactly: Spark's
-        # orderBy sorts NaN GREATEST (before +Inf), but the per-block pandas
-        # sweep and the reference sort NaN/NA *last* (internals.R:1712-1713);
-        # under invalid_to_never negative scores are "never" too. Remap so a
-        # degenerate 0/0 ratio cannot jump the queue.
-        never = float("inf") if ascending else float("-inf")
-        key = F.col("ratio")
-        bad = F.isnan(key) | (key < 0) if invalid_to_never else F.isnan(key)
-        sort_key = F.when(bad, F.lit(never)).otherwise(key)
-        order_cols = [sort_key.asc() if ascending else sort_key.desc(), "a", "b"]
-        selected = survivors.orderBy(*order_cols).limit(n_target)
+        selected = _truncate_to_budget(survivors, n_target, asc, inv)
         extra = [] if keys_only else [
             c for c in work.columns if c not in (block_col, "a", "b", "ratio")
         ]
         if extra:
             # Rejoin the full row for callers that aggregate gammas over M.
-            # The selected key set is ≤ n_target: broadcast it when small so
-            # Ω is never reshuffled; past the threshold a shuffle semi join
-            # is the right plan anyway.
+            # The selected key set is ≤ n_target: broadcast it when its byte
+            # estimate fits so Ω is never reshuffled; past the threshold a
+            # shuffle semi join is the right plan anyway.
             keys = selected.select("a", "b")
-            if n_target <= 5_000_000:
+            if _broadcast_selected_keys(n_target):
                 keys = F.broadcast(keys)
             selected = work.join(keys, ["a", "b"], "left_semi")
     else:
-        local = work.select("a", "b", "ratio").toPandas()
-        idx = greedy_select_local(
-            local["a"].to_numpy(),
-            local["b"].to_numpy(),
-            local["ratio"].to_numpy(),
-            n_M=n_M,
-            duplicates_in_A=duplicates_in_A,
-            ascending=ascending,
-            invalid_to_never=invalid_to_never,
-        )
-        chosen = local.iloc[idx][["a", "b"]]
-        spark = omega.sparkSession
-        if len(chosen) == 0:
-            return omega.limit(0)
-        sel_df = spark.createDataFrame(chosen)
-        selected = work.join(F.broadcast(sel_df), ["a", "b"], "left_semi")
+        narrow = work.select("a", "b", "ratio")
+        n_pairs = narrow.count()
+        if n_pairs > MAX_UNBLOCKED_COLLECT:
+            # Unblocked Ω too large for the reference-faithful driver sweep:
+            # iterative mutual-best selection (exact greedy equivalence, see
+            # greedy_one_to_one_distributed) + the same global truncation.
+            survivors = greedy_one_to_one_distributed(
+                narrow, duplicates_in_A=duplicates_in_A, ascending=ascending,
+                invalid_to_never=invalid_to_never,
+            )
+            sel = _truncate_to_budget(survivors, n_target, ascending,
+                                      invalid_to_never)
+            keys = sel.select("a", "b")
+            if _broadcast_selected_keys(n_target):
+                keys = F.broadcast(keys)
+            selected = work.join(keys, ["a", "b"], "left_semi")
+        else:
+            local = narrow.toPandas()
+            idx = greedy_select_local(
+                local["a"].to_numpy(),
+                local["b"].to_numpy(),
+                local["ratio"].to_numpy(),
+                n_M=n_M,
+                duplicates_in_A=duplicates_in_A,
+                ascending=ascending,
+                invalid_to_never=invalid_to_never,
+            )
+            chosen = local.iloc[idx][["a", "b"]]
+            spark = omega.sparkSession
+            if len(chosen) == 0:
+                return omega.limit(0)
+            sel_df = spark.createDataFrame(chosen)
+            selected = work.join(F.broadcast(sel_df), ["a", "b"], "left_semi")
 
     if ratio_col != "ratio":
         selected = selected.withColumnRenamed("ratio", ratio_col)
@@ -190,6 +259,9 @@ class SelectionSummary:
     flr_est: float
     mmr_est: float
     iter: int | None
+    #: which bisection strategy ran: "exact_collect" | "distributed" | None
+    #: (size mode) — surfaced so callers/oracles can GATE the scale path.
+    strategy: str | None = None
 
 
 #: FLR/MMR exact path cap: distinct-ratio tables up to this size are
@@ -232,6 +304,7 @@ def summarize_mec_selection(
     tol: float = 0.005,
     max_iter: int = 50,
     block_col: str | None = None,
+    exact_collect_max: int | None = None,
 ) -> SelectionSummary:
     """Classification-set construction (reference ``summarize_mec_selection``
     internals.R:424-508): size-based greedy set, or FLR/MMR-targeted threshold
@@ -254,6 +327,10 @@ def summarize_mec_selection(
 
     The final set is a simple ``filter(ratio ≥ t)`` (threshold sets are not
     one-to-one constrained, by reference semantics).
+
+    ``exact_collect_max`` overrides MAX_DISTINCT_RATIO_COLLECT for this call
+    (0 forces the distributed strategy — used by the registry oracle that
+    gates the scale path every round).
     """
     if set_construction not in ("size", "flr", "mmr"):
         raise ValueError("`set_construction` should be one of: size, flr, mmr.")
@@ -275,7 +352,10 @@ def summarize_mec_selection(
 
     n_distinct = omega.agg(
         F.approx_count_distinct("ratio").alias("d")).collect()[0]["d"]
-    if n_distinct <= MAX_DISTINCT_RATIO_COLLECT:
+    collect_max = (MAX_DISTINCT_RATIO_COLLECT if exact_collect_max is None
+                   else exact_collect_max)
+    if n_distinct <= collect_max:
+        strategy = "exact_collect"
         stats = (
             omega.groupBy("ratio")
             .agg(F.count(F.lit(1)).alias("cnt"), F.sum("g_est").alias("g_sum"))
@@ -295,6 +375,7 @@ def summarize_mec_selection(
 
         min_t, max_t = float(ratios[-1]), float(ratios[0])
     else:
+        strategy = "distributed"
         mm = omega.agg(F.min("ratio").alias("lo"),
                        F.max("ratio").alias("hi")).collect()[0]
         min_t, max_t = float(mm["lo"]), float(mm["hi"])
@@ -348,7 +429,7 @@ def summarize_mec_selection(
     selected = omega.filter(F.col("ratio") >= threshold) if n_sel > 0 else omega.limit(0)
     flr_est = float("inf") if n_sel == 0 else (n_sel - g_at) / n_sel
     mmr_est = 1.0 if (n_sel == 0 or n_M_est <= 0) else 1.0 - g_at / n_M_est
-    return SelectionSummary(selected, flr_est, mmr_est, it)
+    return SelectionSummary(selected, flr_est, mmr_est, it, strategy)
 
 
 # ---------------------------------------------------------------------------
@@ -474,11 +555,13 @@ def retain_top_n(
     score_col: str,
     tie_cols: list[str] | tuple[str, ...] = ("a", "b", "block"),
     n_total: int | None = None,
+    descending: bool = True,
 ) -> DataFrame:
     """Exactly the rows ranked 1..n_keep under
     ``ORDER BY score_col DESC NULLS LAST, tie_cols ASC`` — the alpha U-drop
     retention order of ``internals.R:1831-1839`` — without a global
-    single-partition window.
+    single-partition window. ``descending=False`` ranks by
+    ``score_col ASC NULLS LAST`` instead (the inverted-MEC orientation).
 
     Same row set as
     ``row_number().over(Window.orderBy(desc_nulls_last(score), *ties)) ≤ n``
@@ -506,4 +589,126 @@ def retain_top_n(
         return nonnull.unionByName(tail)
     return _prefix_rows(nonnull, n_keep, n_nonnull,
                         [score_col, *tie_cols],
-                        [True] + [False] * len(tie_cols), list(tie_cols))
+                        [descending] + [False] * len(tie_cols), list(tie_cols))
+
+
+# ---------------------------------------------------------------------------
+# Distributed unblocked greedy (SURVEY §2.5 T1 strategy ii): iterative
+# mutual-best selection. The reference's greedy sweep picks, at every step,
+# the globally best remaining pair whose records are both unused — which is
+# exactly the repeated selection of LOCALLY DOMINANT pairs (a pair that is
+# the best remaining for BOTH its records): under a strict total order on
+# pairs, a locally dominant pair is always selected by the greedy scan, and
+# removing all locally dominant pairs plus their records preserves greedy's
+# remaining choices (greedy decisions depend only on which records are
+# used). So: rounds of (best-per-a ∩ best-per-b) → remove matched records →
+# repeat, with the shrinking remainder finished by the exact driver sweep
+# once it fits — same selected set as greedy_select_local, no global sort,
+# no driver materialization of Ω.
+# ---------------------------------------------------------------------------
+
+#: remainder size at which the mutual-best loop hands the (record-disjoint)
+#: residual pair set to the exact driver sweep. Restricting greedy to the
+#: residual graph is exact: selections never depend on removed records.
+_MUTUAL_BEST_FINISH_LOCAL = 2_000_000
+
+#: hard cap on mutual-best rounds (adversarial chain graphs need O(n) rounds;
+#: real ratio distributions converge in a handful). Hitting it raises rather
+#: than silently returning a partial matching.
+_MUTUAL_BEST_MAX_ROUNDS = 200
+
+
+def greedy_one_to_one_distributed(
+    pairs: DataFrame,
+    duplicates_in_A: bool = False,
+    ascending: bool = False,
+    invalid_to_never: bool = False,
+) -> DataFrame:
+    """UNBUDGETED greedy one-to-one selection of ``pairs`` (columns a, b,
+    ratio) as a distributed computation; returns the selected (a, b, ratio)
+    rows. Equivalent to ``greedy_select_local`` with n_M = |pairs| (see the
+    module-level proof sketch above); the caller applies the budget with
+    ``_truncate_to_budget`` exactly as the blocked path does.
+
+    ``duplicates_in_A=True`` needs no iteration at all: greedy keeps a pair
+    iff its ``a`` is unused, i.e. exactly each a's best-ranked pair — one
+    min-struct aggregation."""
+    never = float("inf") if ascending else float("-inf")
+    key = F.col("ratio")
+    bad = key.isNull() | F.isnan(key)
+    if invalid_to_never:
+        bad = bad | (key < 0)
+    sort_key = F.when(bad, F.lit(never)).otherwise(key)
+    # normalize to "smaller struct = better" so one min() covers both modes;
+    # negation is order-exact on the remapped (NaN-free) key
+    norm = sort_key if ascending else -sort_key
+    work = pairs.select(
+        norm.alias("k"), F.col("a"), F.col("b"), F.col("ratio")
+    )
+
+    def best_per(side: str, df: DataFrame) -> DataFrame:
+        # lexicographic min over (k, a, b) — identical tie-break to the
+        # reference's (ratio, a, b) scan order (internals.R:1714)
+        return (
+            df.groupBy(side)
+            .agg(F.min(F.struct("k", "a", "b")).alias("o"))
+            .select(F.col("o.k").alias("k"), F.col("o.a").alias("a"),
+                    F.col("o.b").alias("b"))
+        )
+
+    if duplicates_in_A:
+        sel = best_per("a", work)
+        return (
+            work.join(sel.select("a", "b"), ["a", "b"], "left_semi")
+            .select("a", "b", "ratio")
+        )
+
+    spark = pairs.sparkSession
+    selected_parts: list[DataFrame] = []
+    remaining = work.localCheckpoint(eager=True)
+    for _ in range(_MUTUAL_BEST_MAX_ROUNDS):
+        n_rem = remaining.count()
+        if n_rem == 0:
+            break
+        if n_rem <= _MUTUAL_BEST_FINISH_LOCAL:
+            local = remaining.select("a", "b", "ratio").toPandas()
+            idx = greedy_select_local(
+                local["a"].to_numpy(), local["b"].to_numpy(),
+                local["ratio"].to_numpy(), n_M=float(len(local)),
+                ascending=ascending, invalid_to_never=invalid_to_never,
+            )
+            chosen = local.iloc[idx][["a", "b", "ratio"]]
+            if len(chosen):
+                selected_parts.append(spark.createDataFrame(
+                    chosen, schema=remaining.select("a", "b", "ratio").schema))
+            break
+        ba = best_per("a", remaining)
+        bb = best_per("b", remaining)
+        # mutual best: the pair each endpoint ranks first on both sides
+        sel = (
+            ba.join(bb.select("a", "b"), ["a", "b"], "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        selected_parts.append(
+            remaining.join(sel.select("a", "b"), ["a", "b"], "left_semi")
+            .select("a", "b", "ratio")
+        )
+        # drop every pair touching a matched record; localCheckpoint cuts the
+        # per-round lineage (cluster deployments use checkpoint(dir))
+        remaining = (
+            remaining.join(sel.select("a"), "a", "left_anti")
+            .join(sel.select("b"), "b", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+    else:
+        raise RuntimeError(
+            "greedy_one_to_one_distributed did not converge within "
+            f"{_MUTUAL_BEST_MAX_ROUNDS} mutual-best rounds"
+        )
+
+    if not selected_parts:
+        return pairs.select("a", "b", "ratio").limit(0)
+    out = selected_parts[0]
+    for part in selected_parts[1:]:
+        out = out.unionByName(part)
+    return out

@@ -73,6 +73,14 @@ def get_spark(
         # state-store partitions concurrently on local FS (stateful streaming
         # ops hang); checksums are redundant for the local-FS sandbox anyway.
         .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+        # Defense-in-depth for user-authored ORDER BY ... LIMIT k: above this
+        # k Spark abandons TakeOrderedAndProject (per-partition top-k merged
+        # on the driver — k rows of driver memory) for a distributed sort.
+        # The library's own truncations never rely on this: selection.py
+        # routes any budget > TOPK_VIA_SORT_MAX (100k) through the sketch-
+        # based retain_top_n, which needs neither a driver merge nor a
+        # single-partition sort.
+        .config("spark.sql.execution.topKSortFallbackThreshold", "10000000")
         # Keep the UI off in the sandbox.
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))

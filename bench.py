@@ -16,12 +16,63 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parent
 sys.path.insert(0, str(REPO))
+
+# ---------------------------------------------------------------------------
+# No-Spark kernel-ceiling probe (noise normalization). The dominant scoring
+# kernel (batch numpy Jaro) through raw multiprocessing — no Spark, no Arrow,
+# no JVM — on the SAME host window as the bench. Every BENCH_r*.json carries
+# the probe so cross-round throughput deltas can be attributed: if the probe
+# moves with the suite, the host moved, not the code (the r3 bench window
+# measured a −32% suite swing in lockstep with this probe).
+# ---------------------------------------------------------------------------
+
+_PROBE_TASKS = 256          # tasks × 8 reps × 2048 pairs = 4.2M kernel pairs
+_PROBE_JOB = r'''
+import json, sys, time, random
+sys.path.insert(0, sys.argv[1])
+from multiprocessing import Pool
+
+def work(seed):
+    from automatedreclin_spark.functions.strings import jaro_similarity_batch
+    rnd = random.Random(seed)
+    xs = ['Customer#%09d' % rnd.randint(0, 150000) for _ in range(2048)]
+    ys = [n[:5] + 'x' + n[6:] if i % 3 else n for i, n in enumerate(xs)]
+    for _ in range(8):
+        jaro_similarity_batch(xs, ys)
+    return 0
+
+if __name__ == "__main__":
+    nproc, ntasks = int(sys.argv[2]), int(sys.argv[3])
+    with Pool(nproc) as p:
+        p.map(work, range(16))            # warm imports + allocators
+        t0 = time.time()
+        p.map(work, range(ntasks), chunksize=4)
+        print(json.dumps({"sec": time.time() - t0}))
+'''
+
+
+def kernel_probe(cpus: int) -> dict:
+    """Measure the no-Spark kernel throughput (pairs/sec) in a subprocess."""
+    try:
+        res = subprocess.run(
+            [sys.executable, "-c", _PROBE_JOB, str(REPO), str(cpus),
+             str(_PROBE_TASKS)],
+            capture_output=True, text=True, timeout=600,
+        )
+        sec = json.loads(
+            [ln for ln in res.stdout.splitlines() if ln.startswith("{")][-1]
+        )["sec"]
+        pairs = _PROBE_TASKS * 8 * 2048
+        return {"sec": round(sec, 3), "pairs_per_sec": round(pairs / sec, 1)}
+    except Exception as e:  # probe must never fail the bench
+        return {"error": f"{type(e).__name__}: {e}"}
 
 from automatedreclin_spark.session import get_spark  # noqa: E402
 from automatedreclin_spark.entry_queries import QUERIES  # noqa: E402
@@ -33,6 +84,8 @@ BENCH_QUERIES = [
     "score_ratio_fixed_params",  # A5/A6/A9 density-ratio scoring (Catalyst)
     "mec_binary_customer",  # full iterative MEC fit + 1:1 selection
     "blocked_mec_customer", # inverted blocked MEC (the scale path)
+    "blocked_mec_alpha",    # T6 alpha U-drop (sketch retention) per round
+    "mec_flr_customer",     # distributed flr bisection per round
     "dedup_exact",
     "text_token_stats",
     "ngram_jaccard_pairs",
@@ -55,6 +108,7 @@ def force(df) -> int:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    probe_before = kernel_probe(cpus)
     spark = get_spark(app_name="bench", cpus=cpus)
 
     only = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
@@ -79,6 +133,7 @@ def main() -> None:
             scoring_pairs += n
             scoring_secs += best
 
+    probe_after = kernel_probe(cpus)
     pairs_per_sec = scoring_pairs / scoring_secs if scoring_secs else 0.0
     sf = sf_dir.rstrip("/").split("sf")[-1]
     print(json.dumps({
@@ -90,6 +145,11 @@ def main() -> None:
         "cpus": cpus,
         "scoring_pairs": scoring_pairs,
         "total_sec": round(sum(timings.values()), 3),
+        # host-noise normalization: no-Spark kernel throughput bracketing the
+        # suite (see kernel_probe) — compare across BENCH_r*.json before
+        # attributing a suite delta to code
+        "kernel_probe_before": probe_before,
+        "kernel_probe_after": probe_after,
     }))
 
 

@@ -141,3 +141,19 @@ def test_counters_record_explicit_rows_in_lineage(spark, first_run):
     man40 = ck.manifest("40_linkage")
     assert man40["inputs"] == expected_inputs
     assert man40["rows_in"] == sum(expected_inputs.values())
+
+
+def test_stage_with_missing_declared_input_raises(spark, tmp_path):
+    """Declared inputs must have committed manifests — a typo'd or
+    uncommitted upstream must fail loudly, not record partial lineage."""
+    import pytest as _pytest
+
+    from automatedreclin_spark.checkpoint import CheckpointManager
+
+    ck = CheckpointManager(spark, str(tmp_path / "ck"))
+    ck.stage("up", lambda: spark.range(3))
+    with _pytest.raises(ValueError, match="no committed manifest"):
+        ck.stage("down", lambda: spark.range(2), inputs=["up", "uppity_typo"])
+    # the valid upstream alone works
+    ck.stage("down_ok", lambda: spark.range(2), inputs=["up"])
+    assert ck.manifest("down_ok")["rows_in"] == 3
