@@ -10,10 +10,14 @@ record is used, stopping at the n_M budget. Distribution strategy:
   sweep per block via ``applyInPandas`` (exact semantics), then take the
   global top-round(n_M) survivors by (ratio desc, a, b) — provably identical
   to the budgeted global sweep because the budget only truncates the scan
-  prefix and scan order IS ratio order.
-- **unblocked**: collect (a, b, ratio) to the driver and sweep there. The
-  unblocked mode is inherently candidate-bounded (the reference is single-node
-  R); blocked mode is what runs at 10^12 scale.
+  prefix and scan order IS ratio order. The truncation itself is scale-
+  gated: TakeOrderedAndProject below TOPK_VIA_SORT_MAX, the sketch-based
+  ``retain_top_n`` above it (billion-row budgets never touch the driver).
+- **unblocked**: ≤ MAX_UNBLOCKED_COLLECT pairs collect (a, b, ratio) to the
+  driver and sweep there (reference-faithful single-node semantics); larger
+  Ω runs ``greedy_one_to_one_distributed`` — iterative mutual-best rounds
+  that select exactly the greedy scan's pairs with no global sort and no
+  driver materialization.
 
 Determinism: every ordering uses the tie-break (ratio, a, b[, block]) —
 mirroring the reference's deterministic tie-breaking (internals.R:1714, 1838).

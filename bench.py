@@ -39,6 +39,13 @@ import json, sys, time, random
 sys.path.insert(0, sys.argv[1])
 from multiprocessing import Pool
 
+def init():
+    # EVERY worker imports the kernel at pool creation — a plain warm map
+    # leaves half the pool cold, and after the suite has churned the page
+    # cache those workers pay a multi-second numpy import INSIDE the timed
+    # window (observed 1s -> 13s probe with 54% idle CPU).
+    import automatedreclin_spark.functions.strings  # noqa: F401
+
 def work(seed):
     from automatedreclin_spark.functions.strings import jaro_similarity_batch
     rnd = random.Random(seed)
@@ -50,27 +57,44 @@ def work(seed):
 
 if __name__ == "__main__":
     nproc, ntasks = int(sys.argv[2]), int(sys.argv[3])
-    with Pool(nproc) as p:
-        p.map(work, range(16))            # warm imports + allocators
+    with Pool(nproc, initializer=init) as p:
+        p.map(work, range(2 * nproc))     # warm allocators everywhere
         t0 = time.time()
         p.map(work, range(ntasks), chunksize=4)
         print(json.dumps({"sec": time.time() - t0}))
 '''
 
 
+def _cpu_jiffies() -> list[int]:
+    with open("/proc/stat") as f:
+        return [int(x) for x in f.readline().split()[1:]]
+
+
 def kernel_probe(cpus: int) -> dict:
-    """Measure the no-Spark kernel throughput (pairs/sec) in a subprocess."""
+    """Measure the no-Spark kernel throughput (pairs/sec) in a subprocess,
+    plus the hypervisor STEAL fraction over the probe window — this box is a
+    VM with intermittent co-tenant bursts (observed 0–9% steal swinging the
+    probe 4.1M → 3.2M pairs/s within seconds), so steal% is the definitive
+    external-contention signal for cross-round comparisons."""
     try:
+        load1 = round(os.getloadavg()[0], 1)
+        j0 = _cpu_jiffies()
         res = subprocess.run(
             [sys.executable, "-c", _PROBE_JOB, str(REPO), str(cpus),
              str(_PROBE_TASKS)],
             capture_output=True, text=True, timeout=600,
         )
+        j1 = _cpu_jiffies()
+        d = [b - a for a, b in zip(j0, j1)]
+        tot = sum(d) or 1
         sec = json.loads(
             [ln for ln in res.stdout.splitlines() if ln.startswith("{")][-1]
         )["sec"]
         pairs = _PROBE_TASKS * 8 * 2048
-        return {"sec": round(sec, 3), "pairs_per_sec": round(pairs / sec, 1)}
+        return {"sec": round(sec, 3), "pairs_per_sec": round(pairs / sec, 1),
+                "steal_pct": round(100 * d[7] / tot, 1),
+                "idle_pct": round(100 * d[3] / tot, 1),
+                "load1_pre": load1}
     except Exception as e:  # probe must never fail the bench
         return {"error": f"{type(e).__name__}: {e}"}
 

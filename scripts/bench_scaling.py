@@ -104,6 +104,13 @@ import sys, time, random
 sys.path.insert(0, sys.argv[1])
 from multiprocessing import Pool
 
+def init():
+    # warm EVERY worker's import at pool creation: a 16-task warm map covers
+    # all of Pool(8) but only half of Pool(32), so cold-worker numpy imports
+    # landed inside the 32-level timed window and biased the measured 8->32
+    # ceiling DOWN (asymmetrically penalizing the wide pool).
+    import automatedreclin_spark.functions.strings  # noqa: F401
+
 def work(seed):
     from automatedreclin_spark.functions.strings import jaro_similarity_batch
     rnd = random.Random(seed)
@@ -117,8 +124,8 @@ if __name__ == "__main__":
     import json
     out = {}
     for nproc in (8, 32):
-        with Pool(nproc) as p:
-            p.map(work, range(16))
+        with Pool(nproc, initializer=init) as p:
+            p.map(work, range(2 * nproc))
             t0 = time.time()
             p.map(work, range(512), chunksize=4)
             out[str(nproc)] = time.time() - t0
