@@ -110,9 +110,12 @@ def _block_greedy_pdf(pdf: pd.DataFrame, duplicates_in_A: bool, ascending: bool,
 #: ``orderBy().limit()``: orderBy/limit compiles to TakeOrderedAndProject — a
 #: per-partition top-k merged ON THE DRIVER, which holds k rows in driver
 #: memory — or past topKSortFallbackThreshold to a global sort + single-
-#: partition GlobalLimit. Both are fine at 100k, fatal when n_target is in
-#: the billions (the north star's 10^12-record regime).
-TOPK_VIA_SORT_MAX = 100_000
+#: partition GlobalLimit. The crossover sits at 1M: a 1M-row driver merge is
+#: ~40 MB (cheap, and the iterative fits call this every iteration, so the
+#: sketch path's extra agg jobs should not tax mid-size fits), while
+#: billion-row budgets (the north star's 10^12-record regime) must never
+#: funnel through the driver or one task.
+TOPK_VIA_SORT_MAX = 1_000_000
 
 #: Broadcasting the selected-key set for the survivor rejoin costs
 #: ~(serialized keys + hashmap overhead) PER EXECUTOR; cap the byte estimate
