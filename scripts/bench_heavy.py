@@ -23,12 +23,18 @@ Appends a "## Heavy anchor" section to BENCH.md.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO))
+
+# 400M-pair scheduler state + cached-Ω bookkeeping sit on the driver heap;
+# one degraded-window run OOM'd the DAGScheduler at the 8g default. 12g
+# unless the caller pinned a size themselves.
+os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "12g")
 
 from pyspark.sql import functions as F  # noqa: E402
 
