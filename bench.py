@@ -137,10 +137,12 @@ def main() -> None:
 
     only = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
     queries = only.split(",") if only else BENCH_QUERIES
-    # Best-of-2 by default: the first evaluation pays whole-stage-codegen
+    # Best-of-3 by default: the first evaluation pays whole-stage-codegen
     # compilation and Python-worker spin-up, which a long-running job never
-    # re-pays — report steady-state throughput.
-    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
+    # re-pays — report steady-state throughput. Measured on this host, the
+    # second run still under-samples steady state under co-tenant steal
+    # (cv_binary best-of-2 ≈ 1.5-2.7 s vs 0.72 s best-of-3-after-warm).
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
 
     timings: dict[str, float] = {}
     scoring_pairs = 0
