@@ -68,6 +68,17 @@ class CheckpointManager:
         if self.resume and self.is_committed(name):
             return self.spark.read.parquet(str(data_dir))
 
+        # Validate declared inputs BEFORE running the builder: a typo'd
+        # upstream name should fail in milliseconds, not after hours of
+        # computation and a full snapshot write.
+        for up in inputs or []:
+            if self.manifest(up) is None:
+                raise ValueError(
+                    f"stage {name!r} declares input {up!r} but no committed "
+                    "manifest exists for it (typo, or the upstream stage was "
+                    "never committed)"
+                )
+
         t0 = time.time()
         df = builder()
         # df.observe: rows_out is measured DURING the snapshot write itself
@@ -92,10 +103,9 @@ class CheckpointManager:
         for up in inputs or []:
             m = self.manifest(up)
             if m is None:
-                # Inputs are declared by the caller and must already be
-                # committed (stages commit strictly before their consumers).
-                # Skipping silently would record a partial rows_in that looks
-                # like complete lineage — fail loudly instead.
+                # Pre-validated above; re-check in case an upstream manifest
+                # vanished mid-stage — partial rows_in must never masquerade
+                # as complete lineage.
                 raise ValueError(
                     f"stage {name!r} declares input {up!r} but no committed "
                     "manifest exists for it (typo, or the upstream stage was "

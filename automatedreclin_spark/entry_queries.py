@@ -1221,13 +1221,21 @@ def q_blocked_mec_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
     diag = res.u_fit_diagnostics
     valid_reasons = {"first_u_fit_full", "alpha_zero", "requested_drop_zero",
                      "alpha_reliability_drop", "minimum_sample_full_base"}
-    bad_reason = int((~diag["reason"].isin(valid_reasons)).sum())
-    applied = diag[diag["alpha_applied"]]
-    # internals.R:1824: S_U keeps n_U - floor(alpha * n_U) rows
-    drop_viol = int((applied["n_U_fit"]
-                     != applied["n_U_current"] - applied["requested_n_drop"]).sum())
-    req_viol = int((diag["requested_n_drop"]
-                    != (0.25 * diag["n_U_current"]).astype(int)).sum())
+    if diag.empty:
+        # structural early exit (no nonmatch complement) never runs a U fit;
+        # emit honest zeros — alpha_applied_any=0 / first_iter_full_base=0
+        # then fail the oracle compare LOUDLY instead of crashing on a
+        # column-less frame.
+        applied = diag
+        bad_reason = drop_viol = req_viol = 0
+    else:
+        bad_reason = int((~diag["reason"].isin(valid_reasons)).sum())
+        applied = diag[diag["alpha_applied"]]
+        # internals.R:1824: S_U keeps n_U - floor(alpha * n_U) rows
+        drop_viol = int((applied["n_U_fit"]
+                         != applied["n_U_current"] - applied["requested_n_drop"]).sum())
+        req_viol = int((diag["requested_n_drop"]
+                        != (0.25 * diag["n_U_current"]).astype(int)).sum())
     return _invariant_df(spark, [
         ("m_size_minus_n_m_est", float(cnt - res.n_M_est)),
         ("one_to_one_a_violations", float(cnt - int(agg["da"]))),

@@ -364,9 +364,11 @@ def mec(
         g_sum = scored.agg(F.sum("g_est")).collect()[0][0]
         n_M = min(float(g_sum), cap)
 
-        # (b) greedy one-to-one M ← top-n_M by ratio (T1).
+        # (b) greedy one-to-one M ← top-n_M by ratio (T1). n_pairs=n skips
+        # the unblocked routing count — |Ω| is already known and constant.
         M_selected = select_mec_pairs(
-            scored, n_M, duplicates_in_A=duplicates_in_A, block_col=block_col
+            scored, n_M, duplicates_in_A=duplicates_in_A, block_col=block_col,
+            n_pairs=n,
         ).persist(StorageLevel.MEMORY_AND_DISK)
         m_row = M_selected.agg(*m_aggs).collect()[0].asDict()
         n_M_count = int(m_row["_n_sel"])
@@ -557,6 +559,7 @@ def mec(
         max_iter=max_iter_bisection,
         block_col=block_col,
         exact_collect_max=exact_collect_max,
+        n_pairs=n,
     )
     M_est = summary.selected.select("a", "b", "ratio")
 

@@ -25,6 +25,7 @@ mirroring the reference's deterministic tie-breaking (internals.R:1714, 1838).
 
 from __future__ import annotations
 
+import warnings
 from dataclasses import dataclass
 
 import numpy as np
@@ -122,8 +123,11 @@ TOPK_VIA_SORT_MAX = 1_000_000
 #: (Spark's own broadcast guidance is tens of MB), not a raw row count —
 #: the old 5M-row cap allowed ~80MB+ broadcasts.
 BROADCAST_KEYS_MAX_BYTES = 32 * 1024 * 1024
-_EST_BYTES_PER_KEY = 16  # two 64-bit record ids (strings are larger; estimate
-                         # stays conservative because overhead dominates)
+_EST_BYTES_PER_KEY = 16      # two 64-bit record ids (numeric id schema)
+_EST_BYTES_PER_STR_COL = 64  # record ids are arbitrary STABLE ids — string
+                             # keys estimate 64B/column so the byte cap
+                             # doesn't wave through multi-hundred-MB
+                             # broadcasts of long string ids
 
 #: Unblocked Ω larger than this never hits the driver: the iterative
 #: mutual-best sweep (``greedy_one_to_one_distributed``) runs instead of the
@@ -131,8 +135,18 @@ _EST_BYTES_PER_KEY = 16  # two 64-bit record ids (strings are larger; estimate
 MAX_UNBLOCKED_COLLECT = 5_000_000
 
 
-def _broadcast_selected_keys(n_keys: int) -> bool:
-    return n_keys * _EST_BYTES_PER_KEY <= BROADCAST_KEYS_MAX_BYTES
+def _broadcast_selected_keys(n_keys: int, keys_df: DataFrame | None = None) -> bool:
+    per_key = _EST_BYTES_PER_KEY
+    if keys_df is not None:
+        import pyspark.sql.types as T
+
+        numeric = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+                   T.FloatType, T.DoubleType)
+        per_key = sum(
+            8 if isinstance(f.dataType, numeric) else _EST_BYTES_PER_STR_COL
+            for f in keys_df.schema.fields
+        )
+    return n_keys * per_key <= BROADCAST_KEYS_MAX_BYTES
 
 
 def _never_sort_key(ascending: bool, invalid_to_never: bool):
@@ -179,6 +193,7 @@ def select_mec_pairs(
     invalid_to_never: bool = False,
     ratio_col: str = "ratio",
     keys_only: bool = False,
+    n_pairs: int | None = None,
 ) -> DataFrame:
     """Greedy one-to-one selection returning the selected pairs as a DataFrame
     with the same schema as ``omega`` (filtered).
@@ -187,6 +202,8 @@ def select_mec_pairs(
     is given, the disjoint block id. ``keys_only=True`` skips rejoining the
     non-key columns (callers that consume only (a, b[, block, ratio]) — e.g.
     the inverted blocked loop — avoid one semi join per iteration).
+    ``n_pairs`` (|Ω|, unblocked mode only) skips the routing count when the
+    caller already knows it — the iterative fits call this every iteration.
     """
     n_target = _round_half_even(n_M)
     if n_target <= 0:
@@ -217,12 +234,13 @@ def select_mec_pairs(
             # estimate fits so Ω is never reshuffled; past the threshold a
             # shuffle semi join is the right plan anyway.
             keys = selected.select("a", "b")
-            if _broadcast_selected_keys(n_target):
+            if _broadcast_selected_keys(n_target, keys):
                 keys = F.broadcast(keys)
             selected = work.join(keys, ["a", "b"], "left_semi")
     else:
         narrow = work.select("a", "b", "ratio")
-        n_pairs = narrow.count()
+        if n_pairs is None:
+            n_pairs = narrow.count()
         if n_pairs > MAX_UNBLOCKED_COLLECT:
             # Unblocked Ω too large for the reference-faithful driver sweep:
             # iterative mutual-best selection (exact greedy equivalence, see
@@ -234,7 +252,7 @@ def select_mec_pairs(
             sel = _truncate_to_budget(survivors, n_target, ascending,
                                       invalid_to_never)
             keys = sel.select("a", "b")
-            if _broadcast_selected_keys(n_target):
+            if _broadcast_selected_keys(n_target, keys):
                 keys = F.broadcast(keys)
             selected = work.join(keys, ["a", "b"], "left_semi")
         else:
@@ -312,6 +330,7 @@ def summarize_mec_selection(
     max_iter: int = 50,
     block_col: str | None = None,
     exact_collect_max: int | None = None,
+    n_pairs: int | None = None,
 ) -> SelectionSummary:
     """Classification-set construction (reference ``summarize_mec_selection``
     internals.R:424-508): size-based greedy set, or FLR/MMR-targeted threshold
@@ -344,7 +363,8 @@ def summarize_mec_selection(
 
     if set_construction == "size":
         selected = select_mec_pairs(
-            omega, n_M_est, duplicates_in_A=duplicates_in_A, block_col=block_col
+            omega, n_M_est, duplicates_in_A=duplicates_in_A,
+            block_col=block_col, n_pairs=n_pairs,
         )
         agg = selected.agg(
             F.count(F.lit(1)).alias("n_sel"), F.sum("g_est").alias("g_sum")
@@ -671,23 +691,45 @@ def greedy_one_to_one_distributed(
         )
 
     spark = pairs.sparkSession
+
+    def _finish_local(rem: DataFrame) -> DataFrame | None:
+        """Exact driver sweep over the (record-disjoint) residual pair set —
+        greedy restricted to the residual graph continues the global scan."""
+        local = rem.select("a", "b", "ratio").toPandas()
+        idx = greedy_select_local(
+            local["a"].to_numpy(), local["b"].to_numpy(),
+            local["ratio"].to_numpy(), n_M=float(len(local)),
+            ascending=ascending, invalid_to_never=invalid_to_never,
+        )
+        chosen = local.iloc[idx][["a", "b", "ratio"]]
+        if not len(chosen):
+            return None
+        return spark.createDataFrame(
+            chosen, schema=rem.select("a", "b", "ratio").schema)
+
     selected_parts: list[DataFrame] = []
     remaining = work.localCheckpoint(eager=True)
-    for _ in range(_MUTUAL_BEST_MAX_ROUNDS):
+    for round_no in range(_MUTUAL_BEST_MAX_ROUNDS + 1):
         n_rem = remaining.count()
         if n_rem == 0:
             break
-        if n_rem <= _MUTUAL_BEST_FINISH_LOCAL:
-            local = remaining.select("a", "b", "ratio").toPandas()
-            idx = greedy_select_local(
-                local["a"].to_numpy(), local["b"].to_numpy(),
-                local["ratio"].to_numpy(), n_M=float(len(local)),
-                ascending=ascending, invalid_to_never=invalid_to_never,
-            )
-            chosen = local.iloc[idx][["a", "b", "ratio"]]
-            if len(chosen):
-                selected_parts.append(spark.createDataFrame(
-                    chosen, schema=remaining.select("a", "b", "ratio").schema))
+        if n_rem <= _MUTUAL_BEST_FINISH_LOCAL or round_no == _MUTUAL_BEST_MAX_ROUNDS:
+            # Residual fits the driver — or the round cap hit first (chain-
+            # structured score graphs resolve ~1 pair/round). The cap case
+            # falls back to the driver sweep over whatever remains: never
+            # worse than the pre-distributed behavior, which collected ALL
+            # of Ω, and the rounds so far have only shrunk the residual.
+            if round_no == _MUTUAL_BEST_MAX_ROUNDS:
+                warnings.warn(
+                    f"greedy_one_to_one_distributed hit the {_MUTUAL_BEST_MAX_ROUNDS}"
+                    f"-round cap with {n_rem:,} pairs left (chain-structured "
+                    "scores?); finishing with the exact driver sweep.",
+                    RuntimeWarning, stacklevel=2,
+                )
+            part = _finish_local(remaining)
+            if part is not None:
+                selected_parts.append(part)
+            remaining.unpersist()
             break
         ba = best_per("a", remaining)
         bb = best_per("b", remaining)
@@ -696,22 +738,25 @@ def greedy_one_to_one_distributed(
             ba.join(bb.select("a", "b"), ["a", "b"], "left_semi")
             .localCheckpoint(eager=True)
         )
+        # Materialize the (small) selected slice eagerly so the per-round
+        # parts never re-read prior rounds' remaining-set checkpoints — and
+        # the prior remaining can be RELEASED each round (storage stays
+        # bounded at one round's residual instead of Σ round sizes ≈ 2|Ω|).
         selected_parts.append(
             remaining.join(sel.select("a", "b"), ["a", "b"], "left_semi")
             .select("a", "b", "ratio")
+            .localCheckpoint(eager=True)
         )
         # drop every pair touching a matched record; localCheckpoint cuts the
         # per-round lineage (cluster deployments use checkpoint(dir))
-        remaining = (
+        new_remaining = (
             remaining.join(sel.select("a"), "a", "left_anti")
             .join(sel.select("b"), "b", "left_anti")
             .localCheckpoint(eager=True)
         )
-    else:
-        raise RuntimeError(
-            "greedy_one_to_one_distributed did not converge within "
-            f"{_MUTUAL_BEST_MAX_ROUNDS} mutual-best rounds"
-        )
+        remaining.unpersist()
+        sel.unpersist()
+        remaining = new_remaining
 
     if not selected_parts:
         return pairs.select("a", "b", "ratio").limit(0)

@@ -77,7 +77,7 @@ def get_spark(
         # k Spark abandons TakeOrderedAndProject (per-partition top-k merged
         # on the driver — k rows of driver memory) for a distributed sort.
         # The library's own truncations never rely on this: selection.py
-        # routes any budget > TOPK_VIA_SORT_MAX (100k) through the sketch-
+        # routes any budget > TOPK_VIA_SORT_MAX (1M) through the sketch-
         # based retain_top_n, which needs neither a driver merge nor a
         # single-partition sort.
         .config("spark.sql.execution.topKSortFallbackThreshold", "10000000")

@@ -432,3 +432,52 @@ def test_distributed_unblocked_hybrid_local_finish(spark, monkeypatch):
     got = set(map(tuple, select_mec_pairs(df, 600.0)
                   .select("a", "b").collect()))
     assert got == _local_reference_selection(pdf, 600.0)
+
+
+def test_distributed_unblocked_round_cap_falls_back_to_driver(spark, monkeypatch):
+    """Hitting the mutual-best round cap must WARN and finish with the exact
+    driver sweep over the residual — never abort the fit."""
+    import warnings as _warnings
+
+    import automatedreclin_spark.operators.selection as sel
+
+    n = 30
+    rows = []
+    for i in range(n):
+        rows.append((i, i, 1000.0 - 2 * i))
+        if i + 1 < n:
+            rows.append((i + 1, i, 1000.0 - 2 * i - 1))
+    pdf = pd.DataFrame(rows, columns=["a", "b", "ratio"])
+    df = spark.createDataFrame(pdf)
+    monkeypatch.setattr(sel, "MAX_UNBLOCKED_COLLECT", 0)
+    monkeypatch.setattr(sel, "_MUTUAL_BEST_FINISH_LOCAL", 0)
+    monkeypatch.setattr(sel, "_MUTUAL_BEST_MAX_ROUNDS", 3)  # force the cap
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        got = set(map(tuple, select_mec_pairs(df, float(2 * n))
+                      .select("a", "b").collect()))
+    assert any("round cap" in str(w.message) for w in caught)
+    assert got == _local_reference_selection(pdf, float(2 * n))
+
+
+def test_broadcast_keys_estimate_is_type_aware():
+    from automatedreclin_spark.operators.selection import _broadcast_selected_keys
+
+    class _F:
+        def __init__(self, dt):
+            self.dataType = dt
+
+    class _DF:
+        def __init__(self, fields):
+            class _S:
+                pass
+            self.schema = _S()
+            self.schema.fields = fields
+
+    import pyspark.sql.types as T
+
+    longs = _DF([_F(T.LongType()), _F(T.LongType())])
+    strs = _DF([_F(T.StringType()), _F(T.StringType())])
+    assert _broadcast_selected_keys(2_000_000, longs)       # 32MB of longs
+    assert not _broadcast_selected_keys(2_000_000, strs)    # 256MB est of strings
+    assert _broadcast_selected_keys(250_000, strs)          # 32MB est of strings
