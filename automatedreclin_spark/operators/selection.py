@@ -232,7 +232,13 @@ def select_mec_pairs(
             # Rejoin the full row for callers that aggregate gammas over M.
             # The selected key set is ≤ n_target: broadcast it when its byte
             # estimate fits so Ω is never reshuffled; past the threshold a
-            # shuffle semi join is the right plan anyway.
+            # shuffle semi join is the right plan anyway. n_target is an
+            # upper bound — the survivor set here is lazy (counting it would
+            # re-run the per-block Arrow sweep), so when the budget alone
+            # overflows the byte cap we leave the static plan as a shuffle
+            # semi join and let AQE's runtime stats (session.py enables
+            # adaptive execution) demote it to a broadcast join when the
+            # actual survivor set turns out to be small.
             keys = selected.select("a", "b")
             if _broadcast_selected_keys(n_target, keys):
                 keys = F.broadcast(keys)
@@ -249,10 +255,15 @@ def select_mec_pairs(
                 narrow, duplicates_in_A=duplicates_in_A, ascending=ascending,
                 invalid_to_never=invalid_to_never,
             )
+            # survivors come back as one eager checkpoint, so counting them
+            # is a cache scan; the rejoin key set is min(budget, survivors),
+            # not the budget — a 3k survivor set under a 3M budget still
+            # takes the broadcast semi join instead of reshuffling Ω.
+            n_selected = min(n_target, survivors.count())
             sel = _truncate_to_budget(survivors, n_target, ascending,
                                       invalid_to_never)
             keys = sel.select("a", "b")
-            if _broadcast_selected_keys(n_target, keys):
+            if _broadcast_selected_keys(n_selected, keys):
                 keys = F.broadcast(keys)
             selected = work.join(keys, ["a", "b"], "left_semi")
         else:
@@ -644,6 +655,17 @@ _MUTUAL_BEST_FINISH_LOCAL = 2_000_000
 #: than silently returning a partial matching.
 _MUTUAL_BEST_MAX_ROUNDS = 200
 
+#: slice size for the exact scan-order chunked driver finish: however large
+#: the residual is when the finish runs (round cap on an adversarial chain
+#: graph), the driver materializes at most this many rows at a time. Greedy
+#: scan order IS (never-remapped ratio, a, b) order, so sweeping the
+#: residual's top-chunk prefix is an exact prefix of the global scan, and an
+#: UNBUDGETED prefix sweep consumes the whole prefix (every non-selected
+#: prefix pair touches a selected record) — removing pairs that touch
+#: matched records therefore both advances the scan and shrinks the residual
+#: by ≥ chunk rows per slice.
+_MUTUAL_BEST_CHUNK = 2_000_000
+
 
 def greedy_one_to_one_distributed(
     pairs: DataFrame,
@@ -707,29 +729,62 @@ def greedy_one_to_one_distributed(
         return spark.createDataFrame(
             chosen, schema=rem.select("a", "b", "ratio").schema)
 
+    def _finish_chunked(rem: DataFrame, n_rem: int) -> list[DataFrame]:
+        """Exact driver finish in scan-order slices of ``_MUTUAL_BEST_CHUNK``
+        rows: sweep the residual's top-chunk prefix (``retain_top_n`` on the
+        normalized key — sketch path, never a single-partition sort), drop
+        every pair touching a matched record (which consumes the entire
+        prefix, see the constant's comment), repeat. Bounded driver memory
+        for ANY residual size; ≤ ⌈n_rem/chunk⌉ slices."""
+        chunk = max(int(_MUTUAL_BEST_CHUNK), 1)
+        parts: list[DataFrame] = []
+        while n_rem > 0:
+            if n_rem <= chunk:
+                part = _finish_local(rem)
+                rem.unpersist()
+                if part is not None:
+                    parts.append(part)
+                return parts
+            # k is the never-remapped "smaller = better" key (NaN/null-free),
+            # so scan order is exactly (k ASC, a, b) — an exact prefix.
+            prefix = retain_top_n(rem, chunk, "k", tie_cols=("a", "b"),
+                                  n_total=n_rem, descending=False)
+            part = _finish_local(prefix)
+            # a nonempty prefix always selects its scan-first pair
+            parts.append(part)
+            nxt = (
+                rem.join(part.select("a"), "a", "left_anti")
+                .join(part.select("b"), "b", "left_anti")
+                .localCheckpoint(eager=True)
+            )
+            rem.unpersist()
+            rem = nxt
+            n_rem = rem.count()
+        rem.unpersist()
+        return parts
+
     selected_parts: list[DataFrame] = []
     remaining = work.localCheckpoint(eager=True)
     for round_no in range(_MUTUAL_BEST_MAX_ROUNDS + 1):
         n_rem = remaining.count()
         if n_rem == 0:
+            remaining.unpersist()
             break
         if n_rem <= _MUTUAL_BEST_FINISH_LOCAL or round_no == _MUTUAL_BEST_MAX_ROUNDS:
             # Residual fits the driver — or the round cap hit first (chain-
-            # structured score graphs resolve ~1 pair/round). The cap case
-            # falls back to the driver sweep over whatever remains: never
-            # worse than the pre-distributed behavior, which collected ALL
-            # of Ω, and the rounds so far have only shrunk the residual.
+            # structured score graphs resolve ~1 pair/round). Either way the
+            # chunked finish sweeps it in exact scan-order slices, so the
+            # driver holds at most _MUTUAL_BEST_CHUNK rows regardless of how
+            # large the cap-time residual is.
             if round_no == _MUTUAL_BEST_MAX_ROUNDS:
                 warnings.warn(
                     f"greedy_one_to_one_distributed hit the {_MUTUAL_BEST_MAX_ROUNDS}"
                     f"-round cap with {n_rem:,} pairs left (chain-structured "
-                    "scores?); finishing with the exact driver sweep.",
+                    "scores?); finishing with the exact chunked driver sweep "
+                    f"({_MUTUAL_BEST_CHUNK:,} rows per slice).",
                     RuntimeWarning, stacklevel=2,
                 )
-            part = _finish_local(remaining)
-            if part is not None:
-                selected_parts.append(part)
-            remaining.unpersist()
+            selected_parts.extend(_finish_chunked(remaining, n_rem))
             break
         ba = best_per("a", remaining)
         bb = best_per("b", remaining)
@@ -763,4 +818,12 @@ def greedy_one_to_one_distributed(
     out = selected_parts[0]
     for part in selected_parts[1:]:
         out = out.unionByName(part)
+    # Consolidate the selection into ONE eager checkpoint and release the
+    # per-round / per-chunk part checkpoints immediately: storage held after
+    # return is bounded at one copy of the selected set (not Σ part sizes),
+    # callers can count/reuse the result without recompute, and the caller
+    # may .unpersist() the returned frame once consumed.
+    out = out.localCheckpoint(eager=True)
+    for part in selected_parts:
+        part.unpersist()
     return out
