@@ -83,6 +83,11 @@ class MecResult:
     # omega design exists to prevent). Guarded by tests/test_mec.py.
     iter_seconds: list[float] = field(default_factory=list)
     iter_plan_lines: list[int] = field(default_factory=list)
+    #: coarse wall-clock per fit stage ("init_agg" = cache materialization +
+    #: U-side sufficient stats, "seeds" = seed-match count, "final_summary" =
+    #: post-loop scored persist + set construction) — lets the heavy bench
+    #: attribute the fit wall to a stage instead of guessing.
+    stage_seconds: dict[str, float] = field(default_factory=dict)
 
 
 def _validate_methods(methods: dict[str, str] | None, variables: list[str]) -> dict[str, str]:
@@ -214,7 +219,10 @@ def mec(
         ]
     if hm_gammas:
         init_aggs += fam.binary_fit_aggs(hm_gammas, "hm_eta")
+    stage_seconds: dict[str, float] = {}
+    _stage_t0 = time.time()
     init_row = omega.agg(*init_aggs).collect()[0].asDict()
+    stage_seconds["init_agg"] = round(time.time() - _stage_t0, 2)
     raise_if_nonfinite(init_row, variables, cv.gamma_cols)
     n = int(init_row["_n"])
     cv._n = n
@@ -324,7 +332,9 @@ def mec(
     )
 
     # Seed matches within Ω (exact_match_idx, unsupervised_learning.R:313-317).
+    _stage_t0 = time.time()
     n_M_count = seeds.join(omega.select("a", "b"), ["a", "b"], "left_semi").count()
+    stage_seconds["seeds"] = round(time.time() - _stage_t0, 2)
     n_M = float(n_M_count)
 
     theta_b_old = list(theta_b)
@@ -549,6 +559,7 @@ def mec(
     scored = scored.withColumn("g_est", fam.g_est_expr(n_M_count_for_g, n))
     scored = scored.persist(StorageLevel.MEMORY_AND_DISK)
 
+    _stage_t0 = time.time()
     summary: SelectionSummary = summarize_mec_selection(
         scored,
         n_M_est,
@@ -562,6 +573,7 @@ def mec(
         n_pairs=n,
     )
     M_est = summary.selected.select("a", "b", "ratio")
+    stage_seconds["final_summary"] = round(time.time() - _stage_t0, 2)
 
     eval_metrics = confusion = None
     if true_matches is not None:
@@ -603,4 +615,5 @@ def mec(
         convergence_reason=convergence_reason,
         iter_seconds=iter_seconds,
         iter_plan_lines=iter_plan_lines,
+        stage_seconds=stage_seconds,
     )

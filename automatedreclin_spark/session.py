@@ -69,6 +69,18 @@ def get_spark(
         # 8->32 scaling efficiency rose from 0.60 to ~0.69.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        # Unix-domain sockets for the JVM<->Python-worker channel. Spark
+        # 4.1's single-threaded PythonRunner over TCP loopback livelocks its
+        # epoll write/read loop against large grouped-map transfers: the r5
+        # heavy anchor spent ~50% of the MACHINE in system time (JVM task
+        # threads with 300+ CPU-seconds inside ReaderInputStream selector
+        # loops, Python sweep workers at 10s user / 490s system) while a
+        # 400M-row applyInPandas sweep crawled. Measured on a 20M-row
+        # grouped-map repro: TCP 73.0s -> UDS 16.6s (4.4x) at the same batch
+        # size; larger Arrow batches recover only 73->59s on TCP and HURT
+        # under UDS (30s at 65536), so the fix is the channel, not batching.
+        .config("spark.python.unix.domain.socket.enabled",
+                os.environ.get("SPARK_GRAFT_PY_UDS", "true"))
         # Spark 4.1's ChecksumCheckpointFileManager deadlocks committing many
         # state-store partitions concurrently on local FS (stateful streaming
         # ops hang); checksums are redundant for the local-FS sandbox anyway.

@@ -31,13 +31,17 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO))
 
-# 400M-pair scheduler state + cached-Ω bookkeeping sit on the driver heap;
-# one degraded-window run OOM'd the DAGScheduler at the 8g default. 12g
-# unless the caller pinned a size themselves.
-os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "12g")
+# Local mode: the driver heap IS the whole cluster's memory. The 400M-pair
+# gamma base caches at ~15-18 GB; at 12g it half-spilled and execution
+# memory churned against it, and one degraded-window run OOM'd the
+# DAGScheduler at the 8g default. 28g keeps the cache memory-resident with
+# execution headroom (host has 128 GB; a real cluster provisions this
+# per-executor). Callers can still pin their own size.
+os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "28g")
 
 from pyspark.sql import functions as F  # noqa: E402
 
+from bench import kernel_probe  # noqa: E402  (no-Spark host-noise probe)
 from automatedreclin_spark.session import get_spark  # noqa: E402
 from automatedreclin_spark.entry_queries import _record_sets  # noqa: E402
 from automatedreclin_spark.models.mec import mec  # noqa: E402
@@ -75,7 +79,10 @@ def main() -> None:
 
     A, B = _record_sets(spark, str(view_dir))
 
-    results: dict[str, float] = {}
+    results: dict = {}
+    # Host-noise attribution: bracket EVERY stage with the no-Spark kernel
+    # probe (bench.py) so a slow wall can be pinned to the host or the code.
+    results["probe_pre_scoring"] = kernel_probe(32)
 
     # 1) scoring throughput: binary + jaro gammas over block pairs
     pairs = block_pairs(A, B, dedup=False)
@@ -92,6 +99,7 @@ def main() -> None:
     results["scoring_pairs"] = n_pairs
     results["scoring_sec"] = round(score_sec, 2)
     results["pairs_per_sec"] = round(n_pairs / score_sec, 1)
+    results["probe_pre_fit"] = kernel_probe(32)
 
     # 2) full MEC fit (block-constrained pairs) wall time at the heavy size
     t0 = time.time()
@@ -101,6 +109,10 @@ def main() -> None:
     results["mec_fit_sec"] = round(fit_sec, 2)
     results["mec_n_iter"] = res.n_iter
     results["mec_m_est"] = res.M_est.count()
+    # stage attribution: where the fit wall actually goes
+    results["mec_stage_seconds"] = res.stage_seconds
+    results["mec_iter_seconds"] = [round(x, 2) for x in res.iter_seconds]
+    results["probe_post_fit"] = kernel_probe(32)
 
     # 3) optional: blocked inverted MEC with alpha U-drop at the heavy size —
     # the T6 sketch-retention scale path under a real 10^8-row U.
@@ -119,6 +131,7 @@ def main() -> None:
         results["alpha_n_iter"] = bres.iter
         results["alpha_m_est"] = int(bres.n_M_est)
         results["alpha_applied_iters"] = len(applied)
+        results["probe_post_alpha"] = kernel_probe(32)
         alpha_lines = [
             f"- blocked inverted MEC with `alpha={alpha}` U-drop "
             f"({bres.iter} iterations, sketch retention applied in "
