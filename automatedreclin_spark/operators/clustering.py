@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from automatedreclin_spark.operators.util import cut_lineage
+
 
 def _canonical(edges: DataFrame) -> DataFrame:
     """Undirected edge set, self-loops dropped, canonical (min, max) order."""
@@ -93,7 +95,9 @@ def connected_components(
             e2.write.mode("overwrite").parquet(path)
             e2 = spark.read.parquet(path)
         else:
-            e2 = e2.localCheckpoint(eager=True)
+            # localCheckpoint single-JVM; reliable checkpoint when the
+            # cluster sets sc.setCheckpointDir (operators/util.cut_lineage)
+            e2 = cut_lineage(e2)
         # Convergence: identical edge sets (both canonical) — two anti-joins.
         diff = e2.exceptAll(e).limit(1).count() + e.exceptAll(e2).limit(1).count()
         e = e2

@@ -33,6 +33,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from automatedreclin_spark.operators.util import cut_lineage
+
 
 def _round_half_even(x: float) -> int:
     """R's round(): IEEE round-half-to-even (Python round matches)."""
@@ -373,10 +375,16 @@ def summarize_mec_selection(
         raise ValueError("`set_construction` should be one of: size, flr, mmr.")
 
     if set_construction == "size":
+        from pyspark.storagelevel import StorageLevel
+
+        # Persist the final selection: the aggregation below materializes it,
+        # and every post-fit consumer (M_est.count(), evaluation joins)
+        # reuses the cached set instead of re-running the per-block Arrow
+        # sweep over all of Ω.
         selected = select_mec_pairs(
             omega, n_M_est, duplicates_in_A=duplicates_in_A,
             block_col=block_col, n_pairs=n_pairs,
-        )
+        ).persist(StorageLevel.MEMORY_AND_DISK)
         agg = selected.agg(
             F.count(F.lit(1)).alias("n_sel"), F.sum("g_est").alias("g_sum")
         ).collect()[0]
@@ -672,6 +680,7 @@ def greedy_one_to_one_distributed(
     duplicates_in_A: bool = False,
     ascending: bool = False,
     invalid_to_never: bool = False,
+    round_log: list | None = None,
 ) -> DataFrame:
     """UNBUDGETED greedy one-to-one selection of ``pairs`` (columns a, b,
     ratio) as a distributed computation; returns the selected (a, b, ratio)
@@ -681,7 +690,10 @@ def greedy_one_to_one_distributed(
 
     ``duplicates_in_A=True`` needs no iteration at all: greedy keeps a pair
     iff its ``a`` is unused, i.e. exactly each a's best-ranked pair — one
-    min-struct aggregation."""
+    min-struct aggregation.
+
+    ``round_log`` (optional): a list the loop appends ``(round_no, n_rem)``
+    to — the residual-decay record the scale bench reports."""
     never = float("inf") if ascending else float("-inf")
     key = F.col("ratio")
     bad = key.isNull() | F.isnan(key)
@@ -752,10 +764,9 @@ def greedy_one_to_one_distributed(
             part = _finish_local(prefix)
             # a nonempty prefix always selects its scan-first pair
             parts.append(part)
-            nxt = (
+            nxt = cut_lineage(
                 rem.join(part.select("a"), "a", "left_anti")
                 .join(part.select("b"), "b", "left_anti")
-                .localCheckpoint(eager=True)
             )
             rem.unpersist()
             rem = nxt
@@ -764,9 +775,11 @@ def greedy_one_to_one_distributed(
         return parts
 
     selected_parts: list[DataFrame] = []
-    remaining = work.localCheckpoint(eager=True)
+    remaining = cut_lineage(work)
     for round_no in range(_MUTUAL_BEST_MAX_ROUNDS + 1):
         n_rem = remaining.count()
+        if round_log is not None:
+            round_log.append((round_no, n_rem))
         if n_rem == 0:
             remaining.unpersist()
             break
@@ -789,25 +802,23 @@ def greedy_one_to_one_distributed(
         ba = best_per("a", remaining)
         bb = best_per("b", remaining)
         # mutual best: the pair each endpoint ranks first on both sides
-        sel = (
+        sel = cut_lineage(
             ba.join(bb.select("a", "b"), ["a", "b"], "left_semi")
-            .localCheckpoint(eager=True)
         )
         # Materialize the (small) selected slice eagerly so the per-round
         # parts never re-read prior rounds' remaining-set checkpoints — and
         # the prior remaining can be RELEASED each round (storage stays
         # bounded at one round's residual instead of Σ round sizes ≈ 2|Ω|).
-        selected_parts.append(
+        selected_parts.append(cut_lineage(
             remaining.join(sel.select("a", "b"), ["a", "b"], "left_semi")
             .select("a", "b", "ratio")
-            .localCheckpoint(eager=True)
-        )
-        # drop every pair touching a matched record; localCheckpoint cuts the
-        # per-round lineage (cluster deployments use checkpoint(dir))
-        new_remaining = (
+        ))
+        # drop every pair touching a matched record; cut_lineage cuts the
+        # per-round lineage (localCheckpoint single-JVM; reliable checkpoint
+        # when the cluster sets sc.setCheckpointDir — see operators/util.py)
+        new_remaining = cut_lineage(
             remaining.join(sel.select("a"), "a", "left_anti")
             .join(sel.select("b"), "b", "left_anti")
-            .localCheckpoint(eager=True)
         )
         remaining.unpersist()
         sel.unpersist()
@@ -823,7 +834,7 @@ def greedy_one_to_one_distributed(
     # return is bounded at one copy of the selected set (not Σ part sizes),
     # callers can count/reuse the result without recompute, and the caller
     # may .unpersist() the returned frame once consumed.
-    out = out.localCheckpoint(eager=True)
+    out = cut_lineage(out)
     for part in selected_parts:
         part.unpersist()
     return out

