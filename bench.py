@@ -129,21 +129,31 @@ def force(df) -> int:
     return df.count()
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    probe_before = kernel_probe(cpus)
-    spark = get_spark(app_name="bench", cpus=cpus)
+#: probe-gate: a bench window is CLEAN iff both bracketing probes clear this
+#: pairs/sec floor AND agree within the band below. Historical clean windows
+#: on this host probe 4.1–4.4M; the r4 degraded window probed 2.33M.
+PROBE_FLOOR = float(os.environ.get("SPARK_GRAFT_PROBE_FLOOR", "3000000"))
+#: max relative disagreement |before−after| / max(before, after) for a clean
+#: window (the r4 degraded window disagreed by ~46%).
+PROBE_BAND = float(os.environ.get("SPARK_GRAFT_PROBE_BAND", "0.25"))
+#: full-suite attempts before accepting a degraded window (annotated).
+MAX_ATTEMPTS = int(os.environ.get("SPARK_GRAFT_BENCH_ATTEMPTS", "3"))
 
-    only = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
-    queries = only.split(",") if only else BENCH_QUERIES
-    # Best-of-3 by default: the first evaluation pays whole-stage-codegen
-    # compilation and Python-worker spin-up, which a long-running job never
-    # re-pays — report steady-state throughput. Measured on this host, the
-    # second run still under-samples steady state under co-tenant steal
-    # (cv_binary best-of-2 ≈ 1.5-2.7 s vs 0.72 s best-of-3-after-warm).
-    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
 
+def _window_clean(before: dict, after: dict) -> tuple[bool, str | None]:
+    """Judge the suite's host window from its bracketing probes."""
+    vals = [p.get("pairs_per_sec") for p in (before, after)]
+    if any(v is None for v in vals):
+        return True, "probe_unavailable"  # can't gate on a missing signal
+    lo, hi = min(vals), max(vals)
+    if lo < PROBE_FLOOR:
+        return False, f"probe {lo:,.0f} below floor {PROBE_FLOOR:,.0f}"
+    if (hi - lo) / hi > PROBE_BAND:
+        return False, f"probes disagree {100 * (hi - lo) / hi:.0f}% (> {100 * PROBE_BAND:.0f}%)"
+    return True, None
+
+
+def _run_suite(spark, sf_dir: str, queries: list[str], repeats: int) -> dict:
     timings: dict[str, float] = {}
     scoring_pairs = 0
     scoring_secs = 0.0
@@ -158,24 +168,81 @@ def main() -> None:
         if name in SCORING_QUERIES:
             scoring_pairs += n
             scoring_secs += best
+    return {"timings": timings, "scoring_pairs": scoring_pairs,
+            "scoring_secs": scoring_secs,
+            "value": round(scoring_pairs / scoring_secs, 1) if scoring_secs else 0.0}
 
-    probe_after = kernel_probe(cpus)
-    pairs_per_sec = scoring_pairs / scoring_secs if scoring_secs else 0.0
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark(app_name="bench", cpus=cpus)
+
+    only = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    queries = only.split(",") if only else BENCH_QUERIES
+    # Best-of-3 by default: the first evaluation pays whole-stage-codegen
+    # compilation and Python-worker spin-up, which a long-running job never
+    # re-pays — report steady-state throughput. Measured on this host, the
+    # second run still under-samples steady state under co-tenant steal
+    # (cv_binary best-of-2 ≈ 1.5-2.7 s vs 0.72 s best-of-3-after-warm).
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+
+    # Probe-gated attempts: the official artifact must come from a window
+    # whose bracketing no-Spark probes are in-band (the r4 headline landed in
+    # a window its own probes showed ~1.9× degraded — never again). Retry the
+    # whole suite up to MAX_ATTEMPTS; if no clean window appears, emit the
+    # best attempt annotated degraded=true.
+    attempts: list[dict] = []
+    for attempt_no in range(1, MAX_ATTEMPTS + 1):
+        probe_before = kernel_probe(cpus)
+        suite = _run_suite(spark, sf_dir, queries, repeats)
+        probe_after = kernel_probe(cpus)
+        clean, reason = _window_clean(probe_before, probe_after)
+        attempts.append({**suite, "probe_before": probe_before,
+                         "probe_after": probe_after, "clean": clean,
+                         "degraded_reason": reason})
+        if clean:
+            break
+        print(f"# bench attempt {attempt_no} degraded ({reason}); "
+              f"{'retrying' if attempt_no < MAX_ATTEMPTS else 'giving up'}",
+              file=sys.stderr)
+
+    clean_attempts = [a for a in attempts if a["clean"]]
+    chosen = max(clean_attempts or attempts, key=lambda a: a["value"])
     sf = sf_dir.rstrip("/").split("sf")[-1]
     print(json.dumps({
         "metric": "candidate-pair scoring throughput",
-        "value": round(pairs_per_sec, 1),
+        "value": chosen["value"],
         "unit": "pairs/sec",
-        "queries": timings,
+        "queries": chosen["timings"],
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cpus": cpus,
-        "scoring_pairs": scoring_pairs,
-        "total_sec": round(sum(timings.values()), 3),
+        "scoring_pairs": chosen["scoring_pairs"],
+        # the FIXED query subset the headline is computed from — adding fit
+        # queries to BENCH_QUERIES can never dilute round-over-round
+        # throughput comparability
+        "scoring_queries": SCORING_QUERIES,
+        "total_sec": round(sum(chosen["timings"].values()), 3),
         # host-noise normalization: no-Spark kernel throughput bracketing the
-        # suite (see kernel_probe) — compare across BENCH_r*.json before
-        # attributing a suite delta to code
-        "kernel_probe_before": probe_before,
-        "kernel_probe_after": probe_after,
+        # chosen suite attempt (see kernel_probe) — compare across
+        # BENCH_r*.json before attributing a suite delta to code
+        "kernel_probe_before": chosen["probe_before"],
+        "kernel_probe_after": chosen["probe_after"],
+        # probe gate verdict for THIS artifact
+        "degraded": not chosen["clean"],
+        "degraded_reason": chosen["degraded_reason"],
+        "attempts": len(attempts),
+        "probe_floor": PROBE_FLOOR,
+        "probe_band": PROBE_BAND,
+        # per-attempt summary (headline + probe values) for the record
+        "attempt_log": [
+            {"value": a["value"], "clean": a["clean"],
+             "probe_before": a["probe_before"].get("pairs_per_sec"),
+             "probe_after": a["probe_after"].get("pairs_per_sec"),
+             "steal_before": a["probe_before"].get("steal_pct"),
+             "steal_after": a["probe_after"].get("steal_pct")}
+            for a in attempts
+        ],
     }))
 
 
