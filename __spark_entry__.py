@@ -2,7 +2,7 @@
 
 entry(spark)  — flagship blocked binary MEC linkage at sf0.001
 queries()     — operator registry (SURVEY.md §2 + training-data ops)
-oracle_sql()  — DuckDB equivalents; ALL 26 queries have one (iterative fits
+oracle_sql()  — DuckDB equivalents; ALL 27 queries have one (iterative fits
                 and the approximate IVF top-k via invariant-table oracles
                 whose anchors DuckDB recomputes independently)
 

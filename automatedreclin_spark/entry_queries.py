@@ -236,6 +236,52 @@ FROM counts
 """
 
 
+def _pair_anchor_rows(A: DataFrame, B: DataFrame) -> list[tuple[str, float]]:
+    """Integer-exact anchors over the block-join pair space, recomputed by
+    the DuckDB oracle independently from the parquet (cross-engine parity of
+    the raw comparator inputs — not literals echoed from the Spark side).
+    All four are integer-valued, so float summation order cannot drift the
+    comparison: Σ raw Levenshtein distance, seg-agreement pair count, the
+    largest per-block pair count, and the both-sides block count."""
+    pairs = (
+        A.select(F.col("name").alias("_an"), F.col("seg").alias("_as"), "block")
+        .join(B.select(F.col("name").alias("_bn"), F.col("seg").alias("_bs"),
+                       "block"), "block")
+    )
+    row = pairs.agg(
+        F.sum(F.levenshtein("_an", "_bn")).alias("sl"),
+        F.count(F.when(F.col("_as") == F.col("_bs"), 1)).alias("sa"),
+    ).collect()[0]
+    bs = (
+        A.groupBy("block").agg(F.count(F.lit(1)).alias("na"))
+        .join(B.groupBy("block").agg(F.count(F.lit(1)).alias("nb")), "block")
+    )
+    brow = bs.agg(F.max(F.col("na") * F.col("nb")).alias("mx"),
+                  F.count(F.lit(1)).alias("nblocks")).collect()[0]
+    return [
+        ("sum_lev_distance", float(row["sl"])),
+        ("seg_agree_pairs", float(row["sa"])),
+        ("max_block_pairs", float(brow["mx"])),
+        ("n_blocks_both_sides", float(brow["nblocks"])),
+    ]
+
+
+_SQL_PAIR_ANCHORS = """
+UNION ALL SELECT 'sum_lev_distance',
+  (SELECT SUM(levenshtein(A.name, B.name)) FROM A JOIN B ON A.block = B.block)::DOUBLE
+UNION ALL SELECT 'seg_agree_pairs',
+  (SELECT COUNT(*) FROM A JOIN B ON A.block = B.block AND A.seg = B.seg)::DOUBLE
+UNION ALL SELECT 'max_block_pairs', (SELECT MAX(na * nb) FROM bs2)::DOUBLE
+UNION ALL SELECT 'n_blocks_both_sides', (SELECT COUNT(*) FROM bs2)::DOUBLE
+"""
+
+_SQL_BS2 = """
+ac2 AS (SELECT block, COUNT(*) AS na FROM A GROUP BY block),
+bc2 AS (SELECT block, COUNT(*) AS nb FROM B GROUP BY block),
+bs2 AS (SELECT na, nb FROM ac2 JOIN bc2 USING (block))
+"""
+
+
 def _invariant_df(spark: SparkSession, rows: list[tuple[str, float]]) -> DataFrame:
     return spark.createDataFrame(
         pd.DataFrame(rows, columns=["metric", "value"]).astype({"value": "float64"})
@@ -344,6 +390,40 @@ FROM documents
 """
 
 
+
+
+#: per-(lang, i, j) quadratic work ceiling for the exact ngram-Jaccard
+#: self-join: with B ≥ n_max/√T, the largest language's per-key expansion is
+#: ≤ T pairs, so no single task can become the straggler however skewed the
+#: language distribution is.
+_NGRAM_TARGET_PAIRS_PER_KEY = 4_000_000
+
+
+def _ngram_bucket_count(n_langs: int, n_max: int, parallelism: int) -> int:
+    """Triangle-bucket count B for the exact ngram-Jaccard self-join, sized
+    from the data instead of fixed (r5):
+
+    - parallelism floor: |lang| × B(B+1)/2 join keys ≥ 3 × cluster
+      parallelism, so the quadratic stage always has ≥3 task waves to
+      balance across (a fixed B=8 under-splits once the cluster is larger
+      than the key count);
+    - work ceiling: (n_max/B)² ≤ _NGRAM_TARGET_PAIRS_PER_KEY, so the
+      biggest language's per-key expansion is bounded regardless of skew.
+
+    Replication is B+1 rows per doc, so B is capped at 64 — past that the
+    exact baseline is the wrong tool and the MinHash-LSH path (ops/dedup)
+    is the answer."""
+    import math
+
+    n_langs = max(1, n_langs)
+    b_par = 1
+    while b_par * (b_par + 1) * n_langs < 6 * parallelism and b_par < 64:
+        b_par += 1
+    b_work = (math.ceil(n_max / math.sqrt(_NGRAM_TARGET_PAIRS_PER_KEY))
+              if n_max else 1)
+    return max(1, min(64, max(b_par, b_work)))
+
+
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pairs by word-set Jaccard ≥ 0.5 within the same lang
     (exact pairwise — the LSH variant is the scale path).
@@ -356,11 +436,20 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     on (lang, i, j) meets every unordered doc pair exactly once — same-bucket
     pairs deduped by id_a < id_b, cross-bucket pairs canonicalized with
     least/greatest (Jaccard is symmetric). Parallelism becomes
-    |lang| × B(B+1)/2 keys instead of |lang|."""
+    |lang| × B(B+1)/2 keys instead of |lang|.
+
+    B is AUTO-SIZED from the per-lang doc counts (one tiny agg job) — see
+    ``_ngram_bucket_count``."""
     from automatedreclin_spark.operators.util import ensure_parallelism
 
-    B = 8
-    docs = ensure_parallelism(_t(spark, sf_dir, "documents")).select(
+    raw = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    stats = raw.groupBy("lang").agg(F.count(F.lit(1)).alias("c")).collect()
+    B = _ngram_bucket_count(
+        n_langs=len(stats),
+        n_max=max((r["c"] for r in stats), default=0),
+        parallelism=spark.sparkContext.defaultParallelism,
+    )
+    docs = raw.select(
         "doc_id", "lang", F.array_distinct(F.split(F.col("text"), " ")).alias("toks"),
         F.pmod(F.xxhash64("doc_id"), F.lit(B)).alias("bkt"),
     )
@@ -1040,16 +1129,106 @@ UNION ALL SELECT 'n_holdout_pairs', (SELECT COUNT(*) FROM hp)::DOUBLE
 """
 
 
+
+
+def q_supervised_predict_ratio2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supervised train requested with prob_ratio="2" — the feasibility-
+    downgrade path (supervised_learning.R:220-236): ratio "2" denominates by
+    the NONMATCHES, which is only identifiable if every variable shows some
+    agreement among them. On this corpus names are unique per custkey, so no
+    nonmatch pair agrees on name and the trainer must downgrade to ratio "1"
+    with the reference's warning. The oracle RECOMPUTES the feasibility
+    predicate from the parquet (per-variable nonmatch agreement counts via
+    equi-joins over the training cross product) — the downgrade decision is
+    gated end-to-end against independently recomputed data, not echoed."""
+    import warnings as _w
+
+    from automatedreclin_spark.models.supervised import predict_rec_lin, train_rec_lin
+    from automatedreclin_spark.operators.pairs import block_pairs as _bp
+
+    A, B = _record_sets(spark, sf_dir)
+    trainA = A.filter(F.col("a") % 7 != 0)
+    trainB = B.filter(F.col("b") % 7 != 0)
+    matches = (
+        trainA.select("a").join(trainB.select("b"), F.col("a") == F.col("b"))
+        .select("a", "b")
+    )
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        model = train_rec_lin(trainA, trainB, matches,
+                              variables=["name", "seg"], prob_ratio="2")
+    warned = any("Switching the probability ratio" in str(w.message)
+                 for w in caught)
+    # nonmatch agreement counts, recomputed the oracle's way (equi-joins over
+    # the training cross product; nonmatch = different custkey)
+    name_agree = (
+        trainA.select("a", F.col("name").alias("_n"))
+        .join(trainB.select("b", F.col("name").alias("_n")), "_n")
+        .filter(F.col("a") != F.col("b")).count()
+    )
+    seg_agree = (
+        trainA.select("a", F.col("seg").alias("_s"))
+        .join(trainB.select("b", F.col("seg").alias("_s")), "_s")
+        .filter(F.col("a") != F.col("b")).count()
+    )
+    holdA = A.filter(F.col("a") % 7 == 0)
+    holdB = B.filter(F.col("b") % 7 == 0)
+    hold_pairs = _bp(holdA, holdB, dedup=False).select("a", "b")
+    pred = predict_rec_lin(model, holdA, holdB, pairs=hold_pairs)
+    M = pred.M_est
+    agg = M.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.count_distinct("a").alias("da"),
+        F.count_distinct("b").alias("db"),
+    ).collect()[0]
+    cnt = int(agg["cnt"])
+    return _invariant_df(spark, [
+        ("prob_ratio_downgraded_to_1",
+         1.0 if model.prob_ratio == "1" else 0.0),
+        ("downgrade_warned_iff_applied",
+         1.0 if warned == (model.prob_ratio == "1") else 0.0),
+        ("nonmatch_name_agree_pairs", float(name_agree)),
+        ("nonmatch_seg_agree_pairs", float(seg_agree)),
+        ("pred_size_minus_round_n_m", float(cnt - round(pred.n_M_est))),
+        ("one_to_one_a_violations", float(cnt - int(agg["da"]))),
+        ("one_to_one_b_violations", float(cnt - int(agg["db"]))),
+        ("n_hold_a", float(holdA.count())),
+        ("n_hold_b", float(holdB.count())),
+    ])
+
+
+ORACLE_SUPERVISED_RATIO2 = f"""
+WITH A AS ({_SQL_A}), B AS ({_SQL_B}),
+TA AS (SELECT * FROM A WHERE a % 7 <> 0),
+TB AS (SELECT * FROM B WHERE b % 7 <> 0),
+na AS (SELECT COUNT(*) AS c FROM TA JOIN TB ON TA.name = TB.name AND TA.a <> TB.b),
+sa AS (SELECT COUNT(*) AS c FROM TA JOIN TB ON TA.seg = TB.seg AND TA.a <> TB.b)
+SELECT 'prob_ratio_downgraded_to_1' AS metric,
+  (SELECT CASE WHEN (SELECT c FROM na) = 0 OR (SELECT c FROM sa) = 0
+          THEN 1.0 ELSE 0.0 END) AS value
+UNION ALL SELECT 'downgrade_warned_iff_applied', 1.0
+UNION ALL SELECT 'nonmatch_name_agree_pairs', (SELECT c FROM na)::DOUBLE
+UNION ALL SELECT 'nonmatch_seg_agree_pairs', (SELECT c FROM sa)::DOUBLE
+UNION ALL SELECT 'pred_size_minus_round_n_m', 0.0
+UNION ALL SELECT 'one_to_one_a_violations', 0.0
+UNION ALL SELECT 'one_to_one_b_violations', 0.0
+UNION ALL SELECT 'n_hold_a', (SELECT COUNT(*) FROM A WHERE a % 7 = 0)::DOUBLE
+UNION ALL SELECT 'n_hold_b', (SELECT COUNT(*) FROM B WHERE b % 7 = 0)::DOUBLE
+"""
+
+
 QUERIES.update({
     "dedup_clusters": q_dedup_clusters,
     "blocked_mec_customer": q_blocked_mec_customer,
     "supervised_predict": q_supervised_predict,
+    "supervised_predict_ratio2": q_supervised_predict_ratio2,
 })
 ORACLES.update({
     "dedup_clusters": _dedup_clusters_oracle(),
     "mec_binary_customer": ORACLE_MEC_INVARIANTS,
     "blocked_mec_customer": ORACLE_BLOCKED_MEC_INVARIANTS,
     "supervised_predict": ORACLE_SUPERVISED_INVARIANTS,
+    "supervised_predict_ratio2": ORACLE_SUPERVISED_RATIO2,
 })
 
 
@@ -1252,6 +1431,7 @@ def q_blocked_mec_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("nu", float(res.nu)),
         ("n_u_min", float(res.n_U_min)),
         ("n_candidate_pairs", float(res.candidate_pair_count)),
+        *_pair_anchor_rows(A, B),
     ])
 
 
@@ -1259,7 +1439,8 @@ ORACLE_BLOCKED_MEC_ALPHA = f"""
 WITH A AS ({_SQL_A}), B AS ({_SQL_B}),
 ac AS (SELECT block, COUNT(*) AS na FROM A GROUP BY block),
 bc AS (SELECT block, COUNT(*) AS nb FROM B GROUP BY block),
-bs AS (SELECT na, nb FROM ac JOIN bc USING (block))
+bs AS (SELECT na, nb FROM ac JOIN bc USING (block)),
+{_SQL_BS2}
 SELECT 'm_size_minus_n_m_est' AS metric, 0.0 AS value
 UNION ALL SELECT 'one_to_one_a_violations', 0.0
 UNION ALL SELECT 'one_to_one_b_violations', 0.0
@@ -1274,6 +1455,7 @@ UNION ALL SELECT 'nu', (SELECT SUM(least(na, nb)) FROM bs)::DOUBLE
 UNION ALL SELECT 'n_u_min',
   (SELECT SUM(na * nb) - SUM(least(na, nb)) FROM bs)::DOUBLE
 UNION ALL SELECT 'n_candidate_pairs', (SELECT SUM(na * nb) FROM bs)::DOUBLE
+{_SQL_PAIR_ANCHORS}
 """
 
 
@@ -1330,11 +1512,13 @@ def q_mec_flr_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("bisection_terminated_validly", 1.0 if terminated else 0.0),
         ("n_candidate_pairs", float(res.n)),
         ("n_distinct_gamma_lev_r6", float(n_distinct_lev)),
+        *_pair_anchor_rows(A, B),
     ])
 
 
 ORACLE_MEC_FLR = f"""
 WITH A AS ({_SQL_A}), B AS ({_SQL_B}),
+{_SQL_BS2},
 omega AS (
   SELECT A.a, B.b,
          ROUND(CASE WHEN greatest(length(A.name), length(B.name)) = 0 THEN 0.0
@@ -1350,6 +1534,7 @@ UNION ALL SELECT 'bisection_terminated_validly', 1.0
 UNION ALL SELECT 'n_candidate_pairs', (SELECT COUNT(*) FROM omega)::DOUBLE
 UNION ALL SELECT 'n_distinct_gamma_lev_r6',
   (SELECT COUNT(DISTINCT g_lev) FROM omega)::DOUBLE
+{_SQL_PAIR_ANCHORS}
 """
 
 
