@@ -81,6 +81,13 @@ def main() -> None:
 
     results["sets_equal"] = cs_sketch == cs_sort
     assert results["sets_equal"], (cs_sketch, cs_sort)
+    # checksum-sum is order-insensitive but collision-prone in principle —
+    # establish true set equality with an empty symmetric difference
+    # (exceptAll both ways), which no hash collision can fake.
+    sym_diff = (kept_sketch.exceptAll(kept_sort).limit(1).count()
+                + kept_sort.exceptAll(kept_sketch).limit(1).count())
+    results["symmetric_difference_empty"] = sym_diff == 0
+    assert sym_diff == 0, "selected sets differ despite equal checksums"
     print(json.dumps(results))
 
     bench_md = REPO / "BENCH.md"
@@ -105,8 +112,8 @@ def main() -> None:
         f"- legacy `orderBy().limit()` on the same input: "
         f"{results['sort_limit_sec']:.1f} s (driver-merged top-k — works here,"
         " OOMs the driver when n_target reaches billions)",
-        "- selected sets bit-identical (count + order-insensitive xxhash"
-        " checksum)",
+        "- selected sets identical: empty exceptAll symmetric difference"
+        " both ways (plus matching count + order-insensitive checksum)",
         "",
         "Generated by `python scripts/bench_truncation.py`.",
         "",
