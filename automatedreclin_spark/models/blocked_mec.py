@@ -342,7 +342,7 @@ def blocked_mec(
     M = select_mec_pairs(
         omega, float(max(0, nu)), block_col="block", ascending=True,
         invalid_to_never=True, ratio_col="init_disagreement",
-        duplicates_in_A=duplicates_in_A,
+        duplicates_in_A=duplicates_in_A, n_pairs=N,
     ).select("a", "b").persist(StorageLevel.MEMORY_AND_DISK)
     n_M_count = M.count()
     n_U_count = N - n_M_count
@@ -489,7 +489,7 @@ def blocked_mec(
         M_new = select_mec_pairs(
             scored, float(n_M_est), block_col="block", ascending=True,
             invalid_to_never=True, keys_only=True,
-            duplicates_in_A=duplicates_in_A,
+            duplicates_in_A=duplicates_in_A, n_pairs=N,
         ).select("a", "b").persist(StorageLevel.MEMORY_AND_DISK)
         n_M_new = M_new.count()
         n_U_new = N - n_M_new

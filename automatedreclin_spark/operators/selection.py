@@ -108,6 +108,131 @@ def _block_greedy_pdf(pdf: pd.DataFrame, duplicates_in_A: bool, ascending: bool,
     return pdf.iloc[idx]
 
 
+#: Above this |Ω| the per-block sweep stops streaming ALL pairs through
+#: Python and switches to the chunked prefix sweep (see
+#: ``_blocked_survivors_chunked``): Arrow transfer becomes O(Σ_h m_h · c)
+#: instead of O(|Ω|). At the 400M-pair heavy anchor the one-shot sweep
+#: shipped ~13 GB through the Python workers PER FIT ITERATION and the
+#: JVM's grouped-map write path degenerated (GCLocker retry storms against
+#: 32 MB humongous allocations, ~50% of the machine in system time).
+BLOCK_SWEEP_CHUNK_MIN = 20_000_000
+#: first chunk per block = max(_BLOCK_CHUNK_FLOOR, factor · m_h) pairs
+_BLOCK_CHUNK_FACTOR = 4
+_BLOCK_CHUNK_FLOOR = 1024
+#: per-round growth of the per-block cap (bounds worst-case rounds at
+#: log_growth(n_h / (factor · m_h)) — ≤ 5 for a 16M-pair block)
+_BLOCK_CHUNK_GROWTH = 8
+#: round cap: with ×8 growth this is unreachable before the cap exceeds any
+#: physical block size; a hit means the residual-clearing invariant broke.
+_BLOCK_CHUNK_MAX_ROUNDS = 64
+
+
+def _dup_scan_first(narrow: DataFrame, block_col: str, ascending: bool,
+                    invalid_to_never: bool) -> DataFrame:
+    """duplicates_in_A=True blocked selection, pure JVM: greedy keeps a pair
+    iff its ``a`` is unused, i.e. exactly each a's scan-first pair — per
+    (block, a), rank 1 under (never-remapped ratio, b). No Python transfer
+    at any |Ω| (select_mec_indices internals.R:513-555, dup branch)."""
+    from pyspark.sql import Window
+
+    key = _never_sort_key(ascending, invalid_to_never)
+    w = Window.partitionBy(block_col, "a").orderBy(
+        key.asc() if ascending else key.desc(), F.col("b").asc())
+    return (narrow.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1).drop("_rk"))
+
+
+def _blocked_survivors_chunked(
+    narrow: DataFrame,
+    block_col: str,
+    ascending: bool,
+    invalid_to_never: bool,
+    round_log: list | None = None,
+) -> DataFrame:
+    """Exact unbudgeted per-block greedy survivors WITHOUT streaming all of
+    Ω through Python: sweep each block's top-(cap_h) prefix (ratio order IS
+    scan order), drop every pair touching a selected record, repeat on what
+    remains with a growing cap.
+
+    Exactness (same residual lemma as the driver-finish chunking and the
+    mutual-best loop): the chunk is an exact order-prefix of the remaining
+    block scan, so its unbudgeted sweep selects exactly the continuation of
+    the block's greedy scan; a swept-but-unselected pair was rejected
+    because an endpoint was already used, so the used-record anti-join
+    removes it permanently, and a block whose smaller side saturates
+    (selections == m_h) self-clears — every remaining pair touches a used
+    record. No completeness bookkeeping is needed: blocks simply run out of
+    rows.
+
+    Per-round cost: one shuffle+Tungsten-sort of the remaining pairs (the
+    groupBy-apply path paid the same shuffle anyway) and ≤ cap_h rows per
+    block through Arrow. Typical linkage data finishes in 1 round; the cap
+    growth bounds adversarial chains at ~log_8(n_h/m_h) rounds."""
+    from pyspark.sql import Window
+
+    key = _never_sort_key(ascending, invalid_to_never)
+    order = [key.asc() if ascending else key.desc(),
+             F.col("a").asc(), F.col("b").asc()]
+    # m_h = min(#distinct a, #distinct b) per block — the hard selection cap
+    sizes = (
+        narrow.groupBy(block_col)
+        .agg(F.count_distinct("a").alias("_na"),
+             F.count_distinct("b").alias("_nb"))
+        .select(block_col,
+                F.greatest(
+                    F.lit(_BLOCK_CHUNK_FLOOR),
+                    F.lit(_BLOCK_CHUNK_FACTOR) * F.least("_na", "_nb"),
+                ).alias("_cap0"))
+    )
+    sizes = cut_lineage(sizes)
+    w = Window.partitionBy(block_col).orderBy(*order)
+    parts: list[DataFrame] = []
+    # round 1 reads `narrow` directly (typically an already-persisted Ω
+    # projection) — only the shrinking residuals get materialized.
+    remaining = narrow
+    growth = 1
+    for round_no in range(_BLOCK_CHUNK_MAX_ROUNDS):
+        chunk = (
+            remaining.withColumn("_rk", F.row_number().over(w))
+            .join(sizes, block_col)
+            .filter(F.col("_rk") <= growth * F.col("_cap0"))
+            .select(*narrow.columns)
+        )
+        sel = cut_lineage(chunk.groupBy(block_col).applyInPandas(
+            lambda pdf: _block_greedy_pdf(pdf, False, ascending,
+                                          invalid_to_never),
+            schema=narrow.schema,
+        ))
+        parts.append(sel)
+        nxt = cut_lineage(
+            remaining
+            .join(sel.select(block_col, "a"), [block_col, "a"], "left_anti")
+            .join(sel.select(block_col, "b"), [block_col, "b"], "left_anti")
+        )
+        remaining.unpersist()
+        remaining = nxt
+        n_rem = remaining.count()
+        if round_log is not None:
+            round_log.append((round_no, n_rem))
+        if n_rem == 0:
+            remaining.unpersist()
+            break
+        growth *= _BLOCK_CHUNK_GROWTH
+    else:
+        raise RuntimeError(
+            "_blocked_survivors_chunked failed to clear the pair set in "
+            f"{_BLOCK_CHUNK_MAX_ROUNDS} rounds — residual invariant broken"
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out = cut_lineage(out)
+    for p in parts:
+        p.unpersist()
+    sizes.unpersist()
+    return out
+
+
 #: Past this budget, the global top-n_target truncation of the survivor set
 #: routes through ``retain_top_n`` (sketch + conditional-count agg) instead of
 #: ``orderBy().limit()``: orderBy/limit compiles to TakeOrderedAndProject — a
@@ -204,8 +329,11 @@ def select_mec_pairs(
     is given, the disjoint block id. ``keys_only=True`` skips rejoining the
     non-key columns (callers that consume only (a, b[, block, ratio]) — e.g.
     the inverted blocked loop — avoid one semi join per iteration).
-    ``n_pairs`` (|Ω|, unblocked mode only) skips the routing count when the
-    caller already knows it — the iterative fits call this every iteration.
+    ``n_pairs`` (|Ω|) routes scale strategies without a count: unblocked, it
+    decides driver sweep vs distributed mutual-best; blocked, it routes
+    |Ω| > BLOCK_SWEEP_CHUNK_MIN through the chunked prefix sweep (Arrow
+    transfer O(records), not O(pairs)). The iterative fits pass it every
+    iteration.
     """
     n_target = _round_half_even(n_M)
     if n_target <= 0:
@@ -222,10 +350,16 @@ def select_mec_pairs(
         # Survivors rejoin the full row via a semi join afterwards — the
         # survivor set is ≤ Σ_h min(n_Ah, n_Bh), tiny next to Ω.
         narrow = work.select(block_col, "a", "b", "ratio")
-        survivors = narrow.groupBy(block_col).applyInPandas(
-            lambda pdf: _block_greedy_pdf(pdf, dup, asc, inv),
-            schema=narrow.schema,
-        )
+        if dup:
+            # per-a scan-first pair: pure JVM window, no Python at any |Ω|
+            survivors = _dup_scan_first(narrow, block_col, asc, inv)
+        elif n_pairs is not None and n_pairs > BLOCK_SWEEP_CHUNK_MIN:
+            survivors = _blocked_survivors_chunked(narrow, block_col, asc, inv)
+        else:
+            survivors = narrow.groupBy(block_col).applyInPandas(
+                lambda pdf: _block_greedy_pdf(pdf, dup, asc, inv),
+                schema=narrow.schema,
+            )
         selected = _truncate_to_budget(survivors, n_target, asc, inv)
         extra = [] if keys_only else [
             c for c in work.columns if c not in (block_col, "a", "b", "ratio")

@@ -545,3 +545,132 @@ def test_distributed_unblocked_result_is_consolidated_checkpoint(spark, monkeypa
     got = set(map(tuple, out.select("a", "b").collect()))
     assert got == _local_reference_selection(pdf, float(len(pdf)))
     out.unpersist()  # documented caller-side release path
+
+
+# ----- r5: chunked per-block prefix sweep (O(records) Arrow transfer) ------
+
+def _one_shot_survivors(sel, df, asc=False, inv=False):
+    narrow = df.select("block", "a", "b", "ratio")
+    return set(map(tuple, narrow.groupBy("block").applyInPandas(
+        lambda pdf: sel._block_greedy_pdf(pdf, False, asc, inv),
+        schema=narrow.schema,
+    ).select("a", "b").collect()))
+
+
+@pytest.mark.parametrize("scenario", ["continuous", "heavy_ties", "with_nan",
+                                      "with_negatives"])
+@pytest.mark.parametrize("mode", ["desc", "asc_inverted"])
+def test_chunked_block_sweep_matches_one_shot(spark, monkeypatch, scenario,
+                                              mode):
+    """The chunked prefix sweep must produce EXACTLY the one-shot per-block
+    sweep's survivor set on continuous / heavy-tie / NaN / negative ratio
+    distributions, in both greedy orientations — including when the tiny
+    chunk floor forces many rounds."""
+    import automatedreclin_spark.operators.selection as sel
+
+    asc = mode == "asc_inverted"
+    inv = asc
+    df = _blocked_omega(spark, scenario, n=3000, seed=23)
+    want = _one_shot_survivors(sel, df, asc, inv)
+
+    monkeypatch.setattr(sel, "_BLOCK_CHUNK_FLOOR", 8)
+    monkeypatch.setattr(sel, "_BLOCK_CHUNK_FACTOR", 1)
+    monkeypatch.setattr(sel, "_BLOCK_CHUNK_GROWTH", 2)
+    log: list = []
+    got_df = sel._blocked_survivors_chunked(
+        df.select("block", "a", "b", "ratio"), "block", asc, inv,
+        round_log=log)
+    got = set(map(tuple, got_df.select("a", "b").collect()))
+    assert got == want
+    assert len(log) >= 2, log  # the tiny floor must have forced rounds
+    assert log[-1][1] == 0     # ...and the residual cleared
+
+
+def test_chunked_sweep_routes_by_n_pairs_and_matches(spark, monkeypatch):
+    """select_mec_pairs(blocked) with n_pairs above the threshold must route
+    through the chunked sweep (observable via the monkeypatched round log)
+    and still select the same budgeted set as the one-shot path."""
+    import automatedreclin_spark.operators.selection as sel
+
+    df = _blocked_omega(spark, "continuous", n=2500, seed=31)
+    budget = 300.0
+    want = set(map(tuple, sel.select_mec_pairs(
+        df, budget, block_col="block").select("a", "b").collect()))
+
+    monkeypatch.setattr(sel, "BLOCK_SWEEP_CHUNK_MIN", 0)
+    calls: list = []
+    orig = sel._blocked_survivors_chunked
+
+    def spy(*args, **kw):
+        calls.append(1)
+        return orig(*args, **kw)
+
+    monkeypatch.setattr(sel, "_blocked_survivors_chunked", spy)
+    got_df = sel.select_mec_pairs(df, budget, block_col="block",
+                                  n_pairs=df.count())
+    got = set(map(tuple, got_df.select("a", "b").collect()))
+    assert calls, "n_pairs above threshold must take the chunked path"
+    assert got == want
+    # payload column preserved by the survivor rejoin
+    assert set(got_df.columns) == set(df.columns)
+
+
+def test_chunked_sweep_adversarial_chain_across_boundaries(spark, monkeypatch):
+    """Chain-structured ratios inside one block (pair i rejects pair i+1)
+    with a chunk cap far smaller than the chain: the prefix rounds must
+    reproduce the exact alternating greedy selection."""
+    import automatedreclin_spark.operators.selection as sel
+
+    n = 400
+    pdf = pd.DataFrame({
+        "block": [1] * n,
+        "a": [i // 2 + (i % 2) for i in range(n)],
+        "b": [1000 + i // 2 for i in range(n)],
+        "ratio": [float(n - i) for i in range(n)],
+    }).drop_duplicates(["a", "b"])
+    df = spark.createDataFrame(pdf)
+    want = _one_shot_survivors(sel, df)
+
+    monkeypatch.setattr(sel, "_BLOCK_CHUNK_FLOOR", 16)
+    monkeypatch.setattr(sel, "_BLOCK_CHUNK_FACTOR", 1)
+    monkeypatch.setattr(sel, "_BLOCK_CHUNK_GROWTH", 2)
+    got = set(map(tuple, sel._blocked_survivors_chunked(
+        df.select("block", "a", "b", "ratio"), "block", False, False,
+    ).select("a", "b").collect()))
+    assert got == want
+
+
+@pytest.mark.parametrize("scenario", ["continuous", "heavy_ties", "with_nan"])
+def test_dup_scan_first_matches_pandas_sweep(spark, scenario):
+    """duplicates_in_A selection is each a's scan-first pair: the pure-JVM
+    window path must equal the pandas sweep exactly, ties included."""
+    import automatedreclin_spark.operators.selection as sel
+
+    df = _blocked_omega(spark, scenario, n=2000, seed=41)
+    narrow = df.select("block", "a", "b", "ratio")
+    want = set(map(tuple, narrow.groupBy("block").applyInPandas(
+        lambda pdf: sel._block_greedy_pdf(pdf, True, False, False),
+        schema=narrow.schema,
+    ).select("a", "b").collect()))
+    got = set(map(tuple, sel._dup_scan_first(narrow, "block", False, False)
+                 .select("a", "b").collect()))
+    assert got == want
+
+
+def test_dup_selection_via_select_mec_pairs_unchanged(spark):
+    """End-to-end dup=True blocked selection (now window-backed) keeps the
+    historical semantics: budget truncation + survivor rejoin intact."""
+    import automatedreclin_spark.operators.selection as sel
+
+    df = _blocked_omega(spark, "continuous", n=1200, seed=43)
+    got_df = sel.select_mec_pairs(df, 150.0, block_col="block",
+                                  duplicates_in_A=True)
+    got = got_df.select("a", "b", "ratio").toPandas()
+    assert len(got) == 150
+    assert got["a"].is_unique  # the dup constraint binds only on a
+    # every selected pair is its a's best (ratio desc, b asc) in its block
+    pdf = df.toPandas()
+    best = (pdf.sort_values(["ratio", "b"], ascending=[False, True])
+            .drop_duplicates("a"))
+    merged = got.merge(best, on="a", suffixes=("", "_best"))
+    assert (merged["b"] == merged["b_best"]).all()
