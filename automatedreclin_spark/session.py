@@ -93,6 +93,17 @@ def get_spark(
         # based retain_top_n, which needs neither a driver merge nor a
         # single-partition sort.
         .config("spark.sql.execution.topKSortFallbackThreshold", "10000000")
+        # Heartbeat expiry headroom. The driver-side HeartbeatReceiver kills
+        # any executor silent for spark.network.timeout (default 120s); under
+        # a heavy cache rebuild (400M-row gamma base re-persisting to disk)
+        # the single local JVM can stall its RPC dispatcher past that and the
+        # "expired executor" IS the driver — the whole SparkContext tears
+        # down mid-job (observed on the r5 heavy anchor: 121,865ms silence →
+        # context shutdown from inside the alpha fit). Local mode gains
+        # nothing from expiring its own JVM; on a real cluster this same
+        # setting is the standard guard against GC-pause false positives.
+        .config("spark.network.timeout",
+                os.environ.get("SPARK_GRAFT_NETWORK_TIMEOUT", "600s"))
         # Keep the UI off in the sandbox.
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))

@@ -100,6 +100,9 @@ def main() -> None:
     results["scoring_sec"] = round(score_sec, 2)
     results["pairs_per_sec"] = round(n_pairs / score_sec, 1)
     results["probe_pre_fit"] = kernel_probe(32)
+    # partial-results line after every stage: a mid-run crash (e.g. the r5
+    # heartbeat-expiry context teardown) must not lose completed numbers
+    print("PARTIAL " + json.dumps(results), flush=True)
 
     # 2) full MEC fit (block-constrained pairs) wall time at the heavy size
     t0 = time.time()
@@ -113,6 +116,7 @@ def main() -> None:
     results["mec_stage_seconds"] = res.stage_seconds
     results["mec_iter_seconds"] = [round(x, 2) for x in res.iter_seconds]
     results["probe_post_fit"] = kernel_probe(32)
+    print("PARTIAL " + json.dumps(results), flush=True)
 
     # 3) optional: blocked inverted MEC with alpha U-drop at the heavy size —
     # the T6 sketch-retention scale path under a real 10^8-row U.
