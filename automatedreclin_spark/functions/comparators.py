@@ -63,6 +63,12 @@ class jarowinkler_complement(Comparator):
     comparators.R:37-42 — stringdist ``jw`` with default p=0).
 
     Arrow-batched pandas UDF; NULL in → NULL out (then the gamma guard fires).
+
+    NOTE: gamma is NOT a faithful equality witness — the DuckDB empty-string
+    convention scores ("", "") as similarity 0 (gamma 1), while "" == "" is
+    true. Exact-agreement seeds therefore come from the raw-equality seed
+    flag built by comparison_vectors(seed_flag_variables=...), never from a
+    gamma-value predicate.
     """
 
     def __call__(self, left: Column, right: Column) -> Column:
@@ -102,7 +108,8 @@ class jaro_winkler(Comparator):
 
 class levenshtein_norm(Comparator):
     """Levenshtein distance normalized by max length → [0,1]. Pure Catalyst
-    (native ``F.levenshtein``), 0 ⇔ exact agreement."""
+    (native ``F.levenshtein``), 0 ⇔ exact agreement (distance is an integer
+    ≥ 1 for distinct strings, and the maxlen==0 branch means both empty)."""
 
     def __call__(self, left: Column, right: Column) -> Column:
         maxlen = F.greatest(F.length(left), F.length(right))

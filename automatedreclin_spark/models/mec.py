@@ -4,7 +4,7 @@ Re-expresses the reference's flagship ``mec()`` entry point
 (``unsupervised_learning.R:210-818``, traced in SURVEY.md §3.1) as a
 driver-orchestrated fixed-point loop over an immutable, persisted Ω DataFrame:
 
-  init     exact-agreement seeds (equi-join J3) → U-side "denominator"
+  init     exact-agreement seed flag (raw-equality column) → U-side "denominator"
            parameters from all of Ω (one agg pass) → cached denominator column
   iterate  ratio column (params → Catalyst expr) → ĝ column → n_M = Σĝ (agg)
            → greedy one-to-one selection (T1) → M-side re-fit (one agg pass
@@ -41,7 +41,7 @@ from automatedreclin_spark.operators.comparison import (
     gamma_name,
     raise_if_nonfinite,
 )
-from automatedreclin_spark.operators.pairs import exact_match_pairs, has_perfect_agreement
+from automatedreclin_spark.operators.pairs import has_perfect_agreement
 from automatedreclin_spark.operators.selection import (
     SelectionSummary,
     select_mec_pairs,
@@ -83,6 +83,9 @@ class MecResult:
     # omega design exists to prevent). Guarded by tests/test_mec.py.
     iter_seconds: list[float] = field(default_factory=list)
     iter_plan_lines: list[int] = field(default_factory=list)
+    #: per-iteration split of iter_seconds: the Σĝ aggregation pass vs the
+    #: greedy selection (sweep + truncation + rejoin + M-side stats).
+    iter_substage_seconds: list[dict[str, float]] = field(default_factory=list)
     #: coarse wall-clock per fit stage ("init_agg" = cache materialization +
     #: U-side sufficient stats, "seeds" = seed-match count, "final_summary" =
     #: post-loop scored persist + set construction) — lets the heavy bench
@@ -151,8 +154,12 @@ def mec(
             "Please provide relevant datasets."
         )
 
-    # Exact-agreement seed matches M⁰ (J3, unsupervised_learning.R:267-271).
-    seeds = exact_match_pairs(A, B, variables, a_col=a_col, b_col=b_col)
+    # Exact-agreement seed matches M⁰ (J3, unsupervised_learning.R:267-271)
+    # are defined on ALL original variables (the reference builds M before
+    # dropping constants). Their count within Ω and the per-row membership
+    # flag are fused into Ω as a raw-equality ``_seed`` column below — no
+    # join materialization, no semi join over Ω's keys.
+    all_variables = list(variables)
 
     kept, dropped = fam.drop_constant_variables(A, B, variables)
     if not kept:
@@ -168,10 +175,12 @@ def mec(
     cv = comparison_vectors(
         A, B, variables, comparators=comparators, pairs=pairs,
         a_col=a_col, b_col=b_col, check_finite=False,
+        seed_flag_variables=all_variables,
     )
     omega = cv.omega
     n_A, n_B = cv.n_A, cv.n_B
     cap = float(min(n_A, n_B))
+
 
     b_vars = [v for v in variables if methods[v] == "binary"]
     cpar_vars = [v for v in variables if methods[v] == "continuous_parametric"]
@@ -219,6 +228,13 @@ def mec(
         ]
     if hm_gammas:
         init_aggs += fam.binary_fit_aggs(hm_gammas, "hm_eta")
+    # Seed-match count within Ω (|exact_match_pairs(A,B) ∩ Ω|,
+    # unsupervised_learning.R:313-317) fused into the same pass — replacing a
+    # semi join that shuffled every (a, b) key of Ω (218 s of the r5
+    # 400M-pair heavy anchor). The raw-equality _seed flag replicates the
+    # equi-join exactly (NULL never agrees; goes through the values, not the
+    # lossy gammas).
+    init_aggs.append(F.count(F.when(F.col("_seed"), 1)).alias("_n_seeds"))
     stage_seconds: dict[str, float] = {}
     _stage_t0 = time.time()
     init_row = omega.agg(*init_aggs).collect()[0].asDict()
@@ -268,10 +284,10 @@ def mec(
         # Seed-membership flag drives the random cnonpar ratio init
         # (unsupervised_learning.R:428-456); per-row uniforms derive from
         # xxhash64(a, b) — deterministic across partitionings, unlike F.rand.
-        omega = omega.join(
-            seeds.select("a", "b").withColumn("_is_seed", F.lit(True)),
-            ["a", "b"], "left",
-        ).withColumn("_is_seed", F.coalesce("_is_seed", F.lit(False)))
+        # Same fusion as the seed count: membership is the row-local raw-
+        # equality flag — no join against the seed equi-join.
+        omega = omega.withColumn(
+            "_is_seed", F.coalesce(F.col("_seed"), F.lit(False)))
         omega = omega.withColumns(denom_cols).persist(StorageLevel.MEMORY_AND_DISK)
     else:
         # The gamma base is already persisted (init pass materialized it);
@@ -331,10 +347,10 @@ def mec(
         ratio_expr(theta_b, p_0_M, alpha_M, beta_M, cnonpar_expr, theta_hm, eta_hm),
     )
 
-    # Seed matches within Ω (exact_match_idx, unsupervised_learning.R:313-317).
-    _stage_t0 = time.time()
-    n_M_count = seeds.join(omega.select("a", "b"), ["a", "b"], "left_semi").count()
-    stage_seconds["seeds"] = round(time.time() - _stage_t0, 2)
+    # Seed matches within Ω (exact_match_idx, unsupervised_learning.R:313-317)
+    # — already counted by the fused init aggregation.
+    n_M_count = int(init_row["_n_seeds"])
+    stage_seconds["seeds"] = 0.0
     n_M = float(n_M_count)
 
     theta_b_old = list(theta_b)
@@ -363,6 +379,7 @@ def mec(
 
     iter_seconds: list[float] = []
     iter_plan_lines: list[int] = []
+    iter_substage_seconds: list[dict[str, float]] = []
     while n_iter < max_iter:
         n_iter += 1
         _iter_t0 = time.time()
@@ -371,16 +388,23 @@ def mec(
         n_M_count_for_g = n_M_count
         scored = scored.withColumn("g_est", fam.g_est_expr(n_M_count, n))
         n_M_old = n_M
+        _sub_t0 = time.time()
         g_sum = scored.agg(F.sum("g_est")).collect()[0][0]
+        _g_sum_sec = time.time() - _sub_t0
         n_M = min(float(g_sum), cap)
 
         # (b) greedy one-to-one M ← top-n_M by ratio (T1). n_pairs=n skips
         # the unblocked routing count — |Ω| is already known and constant.
+        _sub_t0 = time.time()
         M_selected = select_mec_pairs(
             scored, n_M, duplicates_in_A=duplicates_in_A, block_col=block_col,
             n_pairs=n,
         ).persist(StorageLevel.MEMORY_AND_DISK)
         m_row = M_selected.agg(*m_aggs).collect()[0].asDict()
+        iter_substage_seconds.append(
+            {"g_sum": round(_g_sum_sec, 2),
+             "select": round(time.time() - _sub_t0, 2)}
+        )
         n_M_count = int(m_row["_n_sel"])
         # The previous selection is no longer referenced once the new one is
         # materialized — drop its cached blocks so long fits (max_iter ≫ 10)
@@ -557,7 +581,14 @@ def mec(
     # the PREVIOUS iteration's selection count (unsupervised_learning.R:
     # 492-500), not the post-selection count of the final iteration.
     scored = scored.withColumn("g_est", fam.g_est_expr(n_M_count_for_g, n))
-    scored = scored.persist(StorageLevel.MEMORY_AND_DISK)
+    # scored stays a LAZY projection over the persisted gamma base: ratio and
+    # ĝ are cheap column arithmetic over cached columns, so persisting here
+    # would only write a SECOND full-size copy of Ω into the cache — at the
+    # 400M-pair heavy anchor that second copy (~15-18 GB on top of the base's
+    # 15-18 GB) is exactly what churned the store into re-spill and made the
+    # final summary/fit wall balloon. Downstream passes (selection sweep,
+    # summary aggs, registry consumers of MecResult.scored) all recompute the
+    # projection from the cache instead.
 
     _stage_t0 = time.time()
     summary: SelectionSummary = summarize_mec_selection(
@@ -615,5 +646,6 @@ def mec(
         convergence_reason=convergence_reason,
         iter_seconds=iter_seconds,
         iter_plan_lines=iter_plan_lines,
+        iter_substage_seconds=iter_substage_seconds,
         stage_seconds=stage_seconds,
     )

@@ -73,6 +73,7 @@ def comparison_vectors(
     b_col: str = "b",
     check_finite: bool = True,
     broadcast_records: bool = False,
+    seed_flag_variables: list[str] | None = None,
 ) -> ComparisonVectors:
     """Build Ω with one ``gamma_<var>`` double per key variable.
 
@@ -86,6 +87,13 @@ def comparison_vectors(
     check_finite : run the non-finite gamma guard (one agg pass; reference
         hard-errors on NA/Inf comparisons, ``comparison_vectors.R:153-172``).
     broadcast_records : hint-broadcast A/B into the pair join (small dims).
+    seed_flag_variables : when given, Ω gains a boolean ``_seed`` column —
+        per-row raw-value equality on ALL the listed variables, with the
+        exact NULL semantics of the ``exact_match_pairs`` equi-join (NULL
+        never agrees). Lets mec() fuse the exact-agreement seed count
+        (unsupervised_learning.R:313-317) into its init aggregation instead
+        of semi-joining every (a, b) key of Ω against the seed join — exact
+        for EVERY comparator because it never goes through the (lossy) gamma.
     """
     missing_a = [v for v in variables if v not in A.columns]
     missing_b = [v for v in variables if v not in B.columns]
@@ -115,8 +123,12 @@ def comparison_vectors(
     if pair_df.rdd.getNumPartitions() < target:
         pair_df = pair_df.repartition(target)
 
-    a_vars = A.select(F.col(a_col).alias("a"), *[F.col(v).alias(f"_a_{v}") for v in variables])
-    b_vars = B.select(F.col(b_col).alias("b"), *[F.col(v).alias(f"_b_{v}") for v in variables])
+    join_vars = list(variables)
+    for v in (seed_flag_variables or []):
+        if v not in join_vars:
+            join_vars.append(v)
+    a_vars = A.select(F.col(a_col).alias("a"), *[F.col(v).alias(f"_a_{v}") for v in join_vars])
+    b_vars = B.select(F.col(b_col).alias("b"), *[F.col(v).alias(f"_b_{v}") for v in join_vars])
     if broadcast_records:
         a_vars = F.broadcast(a_vars)
         b_vars = F.broadcast(b_vars)
@@ -129,9 +141,19 @@ def comparison_vectors(
         g = gamma_name(v)
         gamma_exprs[g] = comparators[v](F.col(f"_a_{v}"), F.col(f"_b_{v}")).cast("double")
         gamma_cols.append(g)
+    if seed_flag_variables:
+        seed_expr = F.lit(True)
+        for v in seed_flag_variables:
+            seed_expr = seed_expr & (F.col(f"_a_{v}") == F.col(f"_b_{v}"))
+        # NULL on any variable → NULL conjunction → the consumer's
+        # count(when(_seed, 1)) / coalesce(_seed, false) treat it as
+        # non-seed, exactly like the equi-join.
+        gamma_exprs["_seed"] = seed_expr
     omega = omega.withColumns(gamma_exprs)
 
     keep = [c for c in pair_df.columns if c in ("a", "b", "block")] + gamma_cols
+    if seed_flag_variables:
+        keep.append("_seed")
     omega = omega.select(*keep)
 
     if check_finite:

@@ -115,6 +115,7 @@ def main() -> None:
     # stage attribution: where the fit wall actually goes
     results["mec_stage_seconds"] = res.stage_seconds
     results["mec_iter_seconds"] = [round(x, 2) for x in res.iter_seconds]
+    results["mec_iter_substage_seconds"] = res.iter_substage_seconds
     results["probe_post_fit"] = kernel_probe(32)
     print("PARTIAL " + json.dumps(results), flush=True)
 
