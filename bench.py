@@ -129,10 +129,20 @@ def force(df) -> int:
     return df.count()
 
 
-#: probe-gate: a bench window is CLEAN iff both bracketing probes clear this
-#: pairs/sec floor AND agree within the band below. Historical clean windows
-#: on this host probe 4.1–4.4M; the r4 degraded window probed 2.33M.
-PROBE_FLOOR = float(os.environ.get("SPARK_GRAFT_PROBE_FLOOR", "3000000"))
+#: probe-gate: a bench window is CLEAN iff both bracketing probes clear the
+#: floor AND agree within the band below. The floor is SELF-CALIBRATING —
+#: ``PROBE_SELF_FRAC × best probe seen in this invocation`` — not an absolute
+#: pairs/sec: the sandbox VM migrates hosts between rounds (the r5 reboot
+#: moved the probe plateau 4.1–4.4M → ~1.7M pairs/sec while Spark suite
+#: throughput was UNCHANGED — the new host is slower only on the
+#: bandwidth-saturating pure-kernel path), so an absolute floor calibrated on
+#: one host mismarks every window on the next. ``PROBE_FLOOR`` remains as an
+#: absolute env-overridable sanity bound (default 0.8M ≈ unusable host).
+PROBE_FLOOR = float(os.environ.get("SPARK_GRAFT_PROBE_FLOOR", "800000"))
+#: window floor as a fraction of the invocation's best probe: the r4-style
+#: ~1.9× degradation ratios 0.54, ordinary co-tenant steal swings ratio ~0.73
+#: (4.4M → 3.2M within seconds) — 0.6 separates them.
+PROBE_SELF_FRAC = float(os.environ.get("SPARK_GRAFT_PROBE_SELF_FRAC", "0.6"))
 #: max relative disagreement |before−after| / max(before, after) for a clean
 #: window (the r4 degraded window disagreed by ~46%).
 PROBE_BAND = float(os.environ.get("SPARK_GRAFT_PROBE_BAND", "0.25"))
@@ -140,14 +150,23 @@ PROBE_BAND = float(os.environ.get("SPARK_GRAFT_PROBE_BAND", "0.25"))
 MAX_ATTEMPTS = int(os.environ.get("SPARK_GRAFT_BENCH_ATTEMPTS", "3"))
 
 
-def _window_clean(before: dict, after: dict) -> tuple[bool, str | None]:
-    """Judge the suite's host window from its bracketing probes."""
+def _window_clean(before: dict, after: dict,
+                  best_seen: float = 0.0) -> tuple[bool, str | None]:
+    """Judge the suite's host window from its bracketing probes.
+
+    ``best_seen``: highest probe pairs/sec observed anywhere in this bench
+    invocation (including this window's own probes) — the self-calibration
+    reference. A host that is uniformly slow for the whole invocation is
+    indistinguishable from a slower host and passes; a window slower than
+    ``PROBE_SELF_FRAC`` of what THIS invocation has shown the host can do is
+    degraded. Mid-window collapses are caught by the band check regardless."""
     vals = [p.get("pairs_per_sec") for p in (before, after)]
     if any(v is None for v in vals):
         return True, "probe_unavailable"  # can't gate on a missing signal
     lo, hi = min(vals), max(vals)
-    if lo < PROBE_FLOOR:
-        return False, f"probe {lo:,.0f} below floor {PROBE_FLOOR:,.0f}"
+    floor = max(PROBE_FLOOR, PROBE_SELF_FRAC * max(best_seen, hi))
+    if lo < floor:
+        return False, f"probe {lo:,.0f} below floor {floor:,.0f}"
     if (hi - lo) / hi > PROBE_BAND:
         return False, f"probes disagree {100 * (hi - lo) / hi:.0f}% (> {100 * PROBE_BAND:.0f}%)"
     return True, None
@@ -193,11 +212,17 @@ def main() -> None:
     # whole suite up to MAX_ATTEMPTS; if no clean window appears, emit the
     # best attempt annotated degraded=true.
     attempts: list[dict] = []
+    best_probe_seen = 0.0
     for attempt_no in range(1, MAX_ATTEMPTS + 1):
         probe_before = kernel_probe(cpus)
         suite = _run_suite(spark, sf_dir, queries, repeats)
         probe_after = kernel_probe(cpus)
-        clean, reason = _window_clean(probe_before, probe_after)
+        best_probe_seen = max(
+            [best_probe_seen]
+            + [p.get("pairs_per_sec") or 0.0
+               for p in (probe_before, probe_after)])
+        clean, reason = _window_clean(probe_before, probe_after,
+                                      best_probe_seen)
         attempts.append({**suite, "probe_before": probe_before,
                          "probe_after": probe_after, "clean": clean,
                          "degraded_reason": reason})
@@ -233,6 +258,8 @@ def main() -> None:
         "degraded_reason": chosen["degraded_reason"],
         "attempts": len(attempts),
         "probe_floor": PROBE_FLOOR,
+        "probe_self_frac": PROBE_SELF_FRAC,
+        "probe_best_seen": best_probe_seen,
         "probe_band": PROBE_BAND,
         # per-attempt summary (headline + probe values) for the record
         "attempt_log": [
