@@ -410,8 +410,15 @@ def blocked_mec(
             # internals.R:1516-1518), then the ranked-retention U fit.
             m_df = scored.join(M, ["a", "b"], "left_semi") if n_M_count else scored
             match_params = _estimate_side(m_df, b_gammas, cpar_gammas, "M", m_fallback)
-            U = scored.join(M, ["a", "b"], "left_anti") \
-                .persist(StorageLevel.MEMORY_AND_DISK)
+            # U stays LAZY: it is a broadcast anti join (M is budget-sized)
+            # plus cheap arithmetic over the PERSISTED gamma base, so each of
+            # the ~5 downstream passes (retain_top_n sketch + counts,
+            # minimum-sample agg, U-side estimate) recomputes it from the
+            # columnar cache. Persisting it wrote a second near-full-size
+            # copy of Ω every iteration — at the 400M-pair heavy anchor that
+            # doubled cache footprint, churned MEMORY_AND_DISK re-spill, and
+            # OOM'd the 28 GB heap via deserialized disk-block re-promotion.
+            U = scored.join(M, ["a", "b"], "left_anti")
             n_keep = n_U_count - requested_drop
             score_col = "q_est" if "q_est" in scored.columns else "ratio"
             # retention order (internals.R:1831-1839): q_est desc nulls last,
@@ -448,7 +455,6 @@ def blocked_mec(
             })
             # nonmatch-side params from S_U.
             nonmatch_params = _estimate_side(U_fit, b_gammas, cpar_gammas, "U", u_fallback)
-            U.unpersist()
 
         # (d) score s = u/m with NA/neg → +Inf guard
         #     (score_inverted_mec_ratio internals.R:1653-1686).

@@ -125,6 +125,102 @@ _BLOCK_CHUNK_GROWTH = 8
 #: round cap: with ×8 growth this is unreachable before the cap exceeds any
 #: physical block size; a hit means the residual-clearing invariant broke.
 _BLOCK_CHUNK_MAX_ROUNDS = 64
+#: below this remaining-pair count the per-block window sort is cheap enough
+#: that the quantile prefilter's extra aggregation scans don't pay for
+#: themselves.
+_BLOCK_PREFILTER_MIN = 5_000_000
+#: above this many blocks the prefilter is skipped: per-block keep fractions
+#: approach 1 (the chunk floor alone covers small blocks) and the B-row cut
+#: table stops being broadcast-cheap.
+_BLOCK_PREFILTER_MAX_BLOCKS = 50_000
+#: keep-fraction grid — percentile_approx needs a FOLDABLE percentage array,
+#: so every block picks the smallest grid point ≥ its own keep fraction.
+_PREFILTER_GRID = (0.0002, 0.0005, 0.001, 0.002, 0.005, 0.01, 0.02,
+                   0.05, 0.1, 0.2, 0.4, 0.7, 1.0)
+#: keep-fraction slack over capr/n_h, plus the sketch's rank-error margin
+_PREFILTER_SLACK = 2.0
+_PREFILTER_ACC = 10_000
+
+
+def _block_top_prefilter(
+    remaining: DataFrame, sizes: DataFrame, block_col: str, ascending: bool,
+    invalid_to_never: bool, growth: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Exact-superset cut ahead of the per-block top-capr window: per block,
+    keep a KEY-VALUE PREFIX that provably contains the top
+    min(capr, n_h) rows, so the row_number sort shuffles ~Σ_h capr rows
+    instead of |remaining| (the 400M-pair heavy anchor spent ~875 s per fit
+    iteration in that sort).
+
+    Mechanics: normalize the never-remapped sort key to smaller-is-better
+    ``_kk`` (negate for descending — negation is an order-reversing bijection
+    on non-NaN doubles, and invalids are already ±Inf), sketch a per-block
+    cut at keep-fraction ``min(1, slack·capr/n_h + margin)`` via ONE
+    percentile_approx aggregation (grid percentiles — the percentage argument
+    must be foldable, so each block picks the smallest grid point ≥ its own
+    fraction), then ONE conditional-count aggregation classifies each block:
+
+    - strict   (count(_kk < cut) ≥ min(capr, n_h)): every top row beats the
+      cut value, drop the boundary tie class — bounds heavy-tie blow-ups;
+    - inclusive (count(_kk ≤ cut) ≥ min(capr, n_h)): the value-prefix through
+      the cut contains the top rows (any excluded row is strictly worse than
+      every kept row, so tie resolution by (a, b) cannot reach past it);
+    - all      (sketch under-kept — shouldn't happen given the margin): keep
+      the whole block, exactness never depends on the sketch.
+
+    All three scans are map-side partial aggregations / filters over the
+    (typically cached) remaining set — no data-row shuffle; the cut table is
+    B rows, broadcast into the joins."""
+    key = _never_sort_key(ascending, invalid_to_never)
+    kk = key if ascending else -key
+    work = remaining.withColumn("_kk", kk)
+    grid = F.array(*[F.lit(v) for v in _PREFILTER_GRID])
+    stats = work.groupBy(block_col).agg(
+        F.percentile_approx("_kk", grid, F.lit(_PREFILTER_ACC)).alias("_cuts"),
+        F.count(F.lit(1)).alias("_nh"),
+    )
+    frac = F.least(
+        F.lit(1.0),
+        F.lit(_PREFILTER_SLACK) * F.col("_capr") / F.col("_nh")
+        + F.lit(4.0 / _PREFILTER_ACC),
+    )
+    cuts = (
+        stats.join(sizes, block_col)
+        .withColumn("_capr", F.lit(growth) * F.col("_cap0"))
+        .withColumn("_need", F.least(F.col("_capr"), F.col("_nh")))
+        # smallest grid point ≥ the block's keep fraction: 1 + #(grid < frac)
+        .withColumn("_cut", F.element_at(
+            "_cuts", (F.size(F.filter(grid, lambda x: x < frac)) + 1)
+            .cast("int")))
+        .select(block_col, "_need", "_cut")
+    )
+    cuts = cut_lineage(cuts)
+    modes = (
+        work.join(F.broadcast(cuts), block_col)
+        .groupBy(block_col)
+        .agg(F.count(F.when(F.col("_kk") < F.col("_cut"), 1)).alias("_def"),
+             F.count(F.when(F.col("_kk") <= F.col("_cut"), 1)).alias("_kept"))
+        .join(F.broadcast(cuts), block_col)
+        .select(
+            block_col, "_cut",
+            F.when(F.col("_def") >= F.col("_need"), F.lit("strict"))
+            .when(F.col("_kept") >= F.col("_need"), F.lit("inclusive"))
+            .otherwise(F.lit("all")).alias("_mode"))
+    )
+    modes = cut_lineage(modes)
+    out = (
+        work.join(F.broadcast(modes), block_col)
+        .filter(
+            (F.col("_mode") == "all")
+            | ((F.col("_mode") == "strict") & (F.col("_kk") < F.col("_cut")))
+            | ((F.col("_mode") == "inclusive") & (F.col("_kk") <= F.col("_cut")))
+        )
+        .select(*remaining.columns)
+    )
+    cuts.unpersist()
+    # modes stays referenced by `out`'s lazy plan — the caller unpersists it
+    # once the round's selection has materialized.
+    return out, modes
 
 
 def _dup_scan_first(narrow: DataFrame, block_col: str, ascending: bool,
@@ -148,6 +244,7 @@ def _blocked_survivors_chunked(
     ascending: bool,
     invalid_to_never: bool,
     round_log: list | None = None,
+    n_pairs: int | None = None,
 ) -> DataFrame:
     """Exact unbudgeted per-block greedy survivors WITHOUT streaming all of
     Ω through Python: sweep each block's top-(cap_h) prefix (ratio order IS
@@ -185,15 +282,25 @@ def _blocked_survivors_chunked(
                 ).alias("_cap0"))
     )
     sizes = cut_lineage(sizes)
+    n_blocks = sizes.count()  # cached — cheap; gates the prefilter
     w = Window.partitionBy(block_col).orderBy(*order)
     parts: list[DataFrame] = []
     # round 1 reads `narrow` directly (typically an already-persisted Ω
     # projection) — only the shrinking residuals get materialized.
     remaining = narrow
+    n_remaining = n_pairs
     growth = 1
     for round_no in range(_BLOCK_CHUNK_MAX_ROUNDS):
+        base, prefilter_modes = remaining, None
+        if (n_remaining is not None and n_remaining > _BLOCK_PREFILTER_MIN
+                and n_blocks <= _BLOCK_PREFILTER_MAX_BLOCKS):
+            # cut each block to an exact superset of its top capr rows so the
+            # window below sorts ~Σ capr rows, not |remaining|
+            base, prefilter_modes = _block_top_prefilter(
+                remaining, sizes, block_col, ascending, invalid_to_never,
+                growth)
         chunk = (
-            remaining.withColumn("_rk", F.row_number().over(w))
+            base.withColumn("_rk", F.row_number().over(w))
             .join(sizes, block_col)
             .filter(F.col("_rk") <= growth * F.col("_cap0"))
             .select(*narrow.columns)
@@ -203,6 +310,8 @@ def _blocked_survivors_chunked(
                                           invalid_to_never),
             schema=narrow.schema,
         ))
+        if prefilter_modes is not None:
+            prefilter_modes.unpersist()
         parts.append(sel)
         nxt = cut_lineage(
             remaining
@@ -212,6 +321,7 @@ def _blocked_survivors_chunked(
         remaining.unpersist()
         remaining = nxt
         n_rem = remaining.count()
+        n_remaining = n_rem
         if round_log is not None:
             round_log.append((round_no, n_rem))
         if n_rem == 0:
@@ -354,7 +464,8 @@ def select_mec_pairs(
             # per-a scan-first pair: pure JVM window, no Python at any |Ω|
             survivors = _dup_scan_first(narrow, block_col, asc, inv)
         elif n_pairs is not None and n_pairs > BLOCK_SWEEP_CHUNK_MIN:
-            survivors = _blocked_survivors_chunked(narrow, block_col, asc, inv)
+            survivors = _blocked_survivors_chunked(narrow, block_col, asc, inv,
+                                                   n_pairs=n_pairs)
         else:
             survivors = narrow.groupBy(block_col).applyInPandas(
                 lambda pdf: _block_greedy_pdf(pdf, dup, asc, inv),

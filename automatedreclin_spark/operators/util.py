@@ -3,6 +3,17 @@
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.storagelevel import StorageLevel
+
+#: storage level for localCheckpoint blocks: the PYTHON MEMORY_AND_DISK maps
+#: to a SERIALIZED JVM level (deserialized=False), unlike the Scala default
+#: localCheckpoint level which stores row OBJECTS. Serialized blocks matter
+#: twice at scale: the footprint is several× smaller, and a block spilled to
+#: disk under pressure is re-promoted to memory as bounded BYTES — the
+#: deserialized re-promotion path (BlockManager.maybeCacheDiskValuesInMemory
+#: → MemoryStore.putIteratorAsValues) is what OOM'd the 28 GB heap on the
+#: 400M-pair heavy anchor's alpha fit.
+_LOCAL_CKPT_LEVEL = StorageLevel.MEMORY_AND_DISK
 
 
 def ensure_parallelism(df: DataFrame, factor: int = 1) -> DataFrame:
@@ -39,9 +50,11 @@ def cut_lineage(df: DataFrame, eager: bool = True) -> DataFrame:
     spark = df.sparkSession
     mode = spark.conf.get("spark.automatedreclin.lineageCut", "auto")
     if mode == "local":
-        return df.localCheckpoint(eager=eager)
+        return df.localCheckpoint(eager=eager, storageLevel=_LOCAL_CKPT_LEVEL)
     if mode == "reliable":
         return df.checkpoint(eager=eager)
     has_dir = spark.sparkContext._jsc.sc().getCheckpointDir().isDefined()
-    return df.checkpoint(eager=eager) if has_dir else df.localCheckpoint(eager=eager)
+    if has_dir:
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager, storageLevel=_LOCAL_CKPT_LEVEL)
 

@@ -615,6 +615,66 @@ def test_chunked_sweep_routes_by_n_pairs_and_matches(spark, monkeypatch):
     assert set(got_df.columns) == set(df.columns)
 
 
+@pytest.mark.parametrize("scenario", ["continuous", "heavy_ties", "with_nan",
+                                      "with_negatives"])
+@pytest.mark.parametrize("mode", ["desc", "asc_inverted"])
+def test_prefiltered_chunked_sweep_matches_one_shot(spark, monkeypatch,
+                                                    scenario, mode):
+    """With the per-block quantile prefilter forced on (_BLOCK_PREFILTER_MIN
+    = 0), the chunked sweep must STILL produce exactly the one-shot per-block
+    survivor set — the cut is an exact superset by construction (strict /
+    inclusive / all modes), so no distribution may change the result.
+    heavy_ties exercises the boundary-tie-class handling (a quantile cut
+    landing inside a huge tie class must fall back to inclusive/all)."""
+    import automatedreclin_spark.operators.selection as sel
+
+    asc = mode == "asc_inverted"
+    inv = asc
+    df = _blocked_omega(spark, scenario, n=3000, seed=57)
+    want = _one_shot_survivors(sel, df, asc, inv)
+
+    monkeypatch.setattr(sel, "_BLOCK_CHUNK_FLOOR", 8)
+    monkeypatch.setattr(sel, "_BLOCK_CHUNK_FACTOR", 1)
+    monkeypatch.setattr(sel, "_BLOCK_CHUNK_GROWTH", 2)
+    monkeypatch.setattr(sel, "_BLOCK_PREFILTER_MIN", 0)
+    got_df = sel._blocked_survivors_chunked(
+        df.select("block", "a", "b", "ratio"), "block", asc, inv,
+        n_pairs=df.count())
+    got = set(map(tuple, got_df.select("a", "b").collect()))
+    assert got == want
+
+
+def test_block_top_prefilter_output_is_top_capr_superset(spark):
+    """Direct invariant: the prefilter's kept set per block contains the
+    exact top min(capr, n_h) rows under the (never-key, a, b) scan order —
+    on a tight cut (capr ≪ n_h) over a heavy-tie distribution where the cut
+    value lands inside a tie class."""
+    import automatedreclin_spark.operators.selection as sel
+
+    rng = np.random.default_rng(73)
+    n = 6000
+    pdf = pd.DataFrame({
+        "a": np.arange(n), "b": np.arange(n) + 10_000,
+        "ratio": rng.choice([0.5, 2.0, 2.0, 2.0, 7.0], size=n),
+        "block": (np.arange(n) % 3).astype("int64"),
+    })
+    df = spark.createDataFrame(pdf)
+    narrow = df.select("block", "a", "b", "ratio")
+    cap0 = 40
+    sizes = spark.createDataFrame(
+        pd.DataFrame({"block": [0, 1, 2], "_cap0": [cap0] * 3}))
+    kept_df, modes = sel._block_top_prefilter(
+        narrow, sizes, "block", False, False, growth=1)
+    kept = set(map(tuple, kept_df.select("block", "a", "b").collect()))
+    modes.unpersist()
+    for blk, grp in pdf.groupby("block"):
+        top = grp.sort_values(["ratio", "a", "b"],
+                              ascending=[False, True, True]).head(cap0)
+        missing = [t for t in map(tuple, top[["block", "a", "b"]].values)
+                   if t not in kept]
+        assert not missing, f"block {blk}: top rows lost {missing[:5]}"
+
+
 def test_chunked_sweep_adversarial_chain_across_boundaries(spark, monkeypatch):
     """Chain-structured ratios inside one block (pair i rejects pair i+1)
     with a chunk cap far smaller than the chain: the prefix rounds must
