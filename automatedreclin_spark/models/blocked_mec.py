@@ -23,6 +23,7 @@ reference's reason codes (internals.R:1842-1950).
 from __future__ import annotations
 
 import math
+import time
 from dataclasses import dataclass, field
 from typing import Any
 
@@ -69,6 +70,15 @@ class BlockedMecResult:
     eval_metrics: dict[str, float] | None = None
     confusion: list[list[int]] | None = None
     scored: DataFrame | None = None
+    #: wall-clock attribution, mirroring MecResult: total seconds per
+    #: iteration, their substage split (side_fits = M/U parameter estimation
+    #: incl. the alpha retention passes; q_sum = the Σq̂ aggregation;
+    #: select = per-block greedy + truncation + new-M count/convergence),
+    #: and the non-iterative stages (init_agg = guard agg that materializes
+    #: the Ω cache; init_select = the ascending init greedy of ν pairs).
+    iter_seconds: list[float] = field(default_factory=list)
+    iter_substage_seconds: list[dict[str, float]] = field(default_factory=list)
+    stage_seconds: dict[str, float] = field(default_factory=dict)
 
 
 def _estimate_side(
@@ -328,6 +338,8 @@ def blocked_mec(
         F.col(g) ** 2 for g in cpar_gammas
     ]
     init_norm = F.sqrt(sum(disagreement_terms[1:], disagreement_terms[0]))
+    stage_seconds: dict[str, float] = {}
+    _stage_t0 = time.time()
     omega = omega.withColumn("init_disagreement", init_norm).persist(
         StorageLevel.MEMORY_AND_DISK
     )
@@ -338,7 +350,9 @@ def blocked_mec(
     N = int(_guard_row["_n"])
     cv._n = N
     n_U_min = N - nu
+    stage_seconds["init_agg"] = round(time.time() - _stage_t0, 2)
 
+    _stage_t0 = time.time()
     M = select_mec_pairs(
         omega, float(max(0, nu)), block_col="block", ascending=True,
         invalid_to_never=True, ratio_col="init_disagreement",
@@ -346,8 +360,11 @@ def blocked_mec(
     ).select("a", "b").persist(StorageLevel.MEMORY_AND_DISK)
     n_M_count = M.count()
     n_U_count = N - n_M_count
+    stage_seconds["init_select"] = round(time.time() - _stage_t0, 2)
 
     diagnostics: list[dict] = []
+    iter_seconds: list[float] = []
+    iter_substage_seconds: list[dict[str, float]] = []
 
     if n_U_count == 0:
         if N != nu:
@@ -364,6 +381,7 @@ def blocked_mec(
             alpha=alpha, n_U_fit=0, b_params=None, cpar_params=None,
             block_estimates=None,
             u_fit_diagnostics=pd.DataFrame(), scored=scored,
+            stage_seconds=stage_seconds,
         )
 
     prev_match: dict | None = None
@@ -376,6 +394,7 @@ def blocked_mec(
     match_params = nonmatch_params = None
 
     while True:
+        _iter_t0 = _sub_t0 = time.time()
         # (a)+(c) side parameters. Fallbacks per the reference chain.
         m_fallback = (
             {"alpha": prev_match["alpha"], "beta": prev_match["beta"]}
@@ -456,6 +475,8 @@ def blocked_mec(
             # nonmatch-side params from S_U.
             nonmatch_params = _estimate_side(U_fit, b_gammas, cpar_gammas, "U", u_fallback)
 
+        _side_fits_sec = time.time() - _sub_t0
+        _sub_t0 = time.time()
         # (d) score s = u/m with NA/neg → +Inf guard
         #     (score_inverted_mec_ratio internals.R:1653-1686).
         # try_divide: a zero match-side density is a legitimate "certain
@@ -490,6 +511,8 @@ def blocked_mec(
         q_sum = float(scored.agg(F.sum("q_est")).collect()[0][0])
         n_U_est = max(n_U_min, min(N, round(q_sum)))
         n_M_est = N - n_U_est
+        _q_sum_sec = time.time() - _sub_t0
+        _sub_t0 = time.time()
 
         # (f) new M by ascending-s greedy (T2).
         M_new = select_mec_pairs(
@@ -499,6 +522,11 @@ def blocked_mec(
         ).select("a", "b").persist(StorageLevel.MEMORY_AND_DISK)
         n_M_new = M_new.count()
         n_U_new = N - n_M_new
+        iter_substage_seconds.append({
+            "side_fits": round(_side_fits_sec, 2),
+            "q_sum": round(_q_sum_sec, 2),
+            "select": round(time.time() - _sub_t0, 2),
+        })
 
         vec_parts: list[float] = []
         vec_parts += match_params.get("rate", [])
@@ -529,6 +557,7 @@ def blocked_mec(
         else:
             prev_match, prev_nonmatch, prev_vec = match_params, nonmatch_params, vec
             n_U_old = n_U_est
+            iter_seconds.append(round(time.time() - _iter_t0, 2))
             M.unpersist()
             M = M_new
             n_M_count = n_M_new
@@ -538,11 +567,13 @@ def blocked_mec(
                 print(f"[blocked_mec] iter={it} n_M={n_M_new} n_U_est={n_U_est}")
             continue
 
+        iter_seconds.append(round(time.time() - _iter_t0, 2))
         M.unpersist()
         M = M_new
         n_M_count = n_M_new
         break
 
+    _stage_t0 = time.time()
     M_est = (
         scored.join(M, ["a", "b"], "left_semi")
         .select("a", "b", "block", "ratio")
@@ -586,6 +617,7 @@ def blocked_mec(
         counts = evaluation(M_est, true_matches, cv.n_A * cv.n_B)
         eval_metrics = get_metrics(counts.TP, counts.FP, counts.FN, counts.TN)
         confusion = get_confusion(counts.TP, counts.FP, counts.FN, counts.TN)
+    stage_seconds["final_summary"] = round(time.time() - _stage_t0, 2)
 
     return BlockedMecResult(
         M_est=M_est,
@@ -606,4 +638,7 @@ def blocked_mec(
         eval_metrics=eval_metrics,
         confusion=confusion,
         scored=scored,
+        iter_seconds=iter_seconds,
+        iter_substage_seconds=iter_substage_seconds,
+        stage_seconds=stage_seconds,
     )

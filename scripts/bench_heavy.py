@@ -125,6 +125,14 @@ def main() -> None:
     if alpha > 0:
         from automatedreclin_spark.models.blocked_mec import blocked_mec
 
+        # Stage isolation: mec() returns with its ~15-18 GB gamma base still
+        # persisted (res.scored is a lazy projection over it). Left pinned,
+        # it competes with the alpha fit's own equally-sized cache for the
+        # unified memory region and every lazy-U pass churns through
+        # eviction/re-spill — measured 4885 s (r5, clean probes) vs 2307 s
+        # (r4) before this release. Each stage measures its own cache.
+        spark.catalog.clearCache()
+
         t0 = time.time()
         bres = blocked_mec(A, B, ["name", "seg"],
                            pairs=pairs.select("block", "a", "b"), alpha=alpha)
@@ -136,6 +144,9 @@ def main() -> None:
         results["alpha_n_iter"] = bres.iter
         results["alpha_m_est"] = int(bres.n_M_est)
         results["alpha_applied_iters"] = len(applied)
+        results["alpha_stage_seconds"] = bres.stage_seconds
+        results["alpha_iter_seconds"] = bres.iter_seconds
+        results["alpha_iter_substage_seconds"] = bres.iter_substage_seconds
         results["probe_post_alpha"] = kernel_probe(32)
         alpha_lines = [
             f"- blocked inverted MEC with `alpha={alpha}` U-drop "
