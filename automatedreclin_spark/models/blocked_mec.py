@@ -427,8 +427,11 @@ def blocked_mec(
         else:
             # alpha U-drop path (T6): match side from M (full Ω if M empty —
             # internals.R:1516-1518), then the ranked-retention U fit.
+            from automatedreclin_spark.operators.selection import _trace
+            _tt = time.time()
             m_df = scored.join(M, ["a", "b"], "left_semi") if n_M_count else scored
             match_params = _estimate_side(m_df, b_gammas, cpar_gammas, "M", m_fallback)
+            _tt = _trace("alpha m-side estimate", _tt)
             # U stays LAZY: it is a broadcast anti join (M is budget-sized)
             # plus cheap arithmetic over the PERSISTED gamma base, so each of
             # the ~5 downstream passes (retain_top_n sketch + counts,
@@ -447,6 +450,7 @@ def blocked_mec(
             U_fit = retain_top_n(U, n_keep, score_col,
                                  tie_cols=("a", "b", "block"),
                                  n_total=n_U_count)
+            _tt = _trace("alpha retain_top_n build", _tt)
             # minimum-sample check: ≥2 positives per cpar var or valid fallback
             ok = True
             if cpar_gammas:
@@ -472,8 +476,10 @@ def blocked_mec(
                 "requested_n_drop": requested_drop, "n_U_fit": n_U_fit,
                 "alpha_applied": reason == "alpha_reliability_drop", "reason": reason,
             })
+            _tt = _trace("alpha minimum-sample check", _tt)
             # nonmatch-side params from S_U.
             nonmatch_params = _estimate_side(U_fit, b_gammas, cpar_gammas, "U", u_fallback)
+            _trace("alpha u-side estimate", _tt)
 
         _side_fits_sec = time.time() - _sub_t0
         _sub_t0 = time.time()

@@ -25,6 +25,9 @@ mirroring the reference's deterministic tie-breaking (internals.R:1714, 1838).
 
 from __future__ import annotations
 
+import math
+import os
+import time
 import warnings
 from dataclasses import dataclass
 
@@ -741,9 +744,91 @@ def summarize_mec_selection(
 #: sketch-error-bounded, ≪ the input); keeps the driver key fetch bounded.
 MAX_BOUNDARY_COLLECT = 2_000_000
 
+#: SPARK_GRAFT_TRACE=1 → per-step wall prints from the sketch-retention path
+#: (perf attribution at heavy scale; off in normal runs).
+_TRACE = os.environ.get("SPARK_GRAFT_TRACE", "") not in ("", "0")
+
+
+def _trace(label: str, t0: float) -> float:
+    if _TRACE:
+        print(f"[trace] {label}: {time.time() - t0:.1f}s", flush=True)
+    return time.time()
+
 
 def _order_cols(cols: list[str], descs: list[bool]):
     return [F.desc_nulls_last(c) if d else F.asc(c) for c, d in zip(cols, descs)]
+
+
+#: fixed-width bins per histogram level (collected to the driver: ≤64k rows)
+_HIST_BINS = 65_536
+#: histogram refinement depth cap; past it the current bracket is returned
+#: and the window-over-slice fallback absorbs an oversized boundary.
+_HIST_MAX_LEVELS = 4
+
+
+def _rank_bracket_candidates(df: DataFrame, col: str, r_asc: int,
+                             n: int) -> list[float] | None:
+    """Candidate cut values bracketing the global ASCENDING rank ``r_asc``
+    of ``col`` (null-free), via iterated fixed-width bin counts.
+
+    Replaces ``approxQuantile`` here on purpose: at 4×10⁸ rows next to a
+    multi-GB columnar cache, the QuantileSummaries digest (an
+    ObjectHashAggregate of boxed doubles, untracked by the memory manager,
+    one per task × 32) GC-thrashed the heap for ~70 minutes in one heavy
+    run and OOM'd it in another. Bin counts are plain whole-stage-codegen
+    conditional counts — constant driver memory, one cheap pass per level,
+    and the histogram gives the EXACT row count of the returned bracket, so
+    refinement stops as soon as the boundary slice is collectable. Exactness
+    is unaffected either way: callers re-count the candidates globally and
+    resolve the between-slice exactly."""
+    c = F.col(col)
+    inf = float("inf")
+    finite = F.when((c > -inf) & (c < inf), c)
+    row = df.agg(
+        F.count(F.when(c == -inf, 1)).alias("n_neg"),
+        F.count(F.when(c == inf, 1)).alias("n_pos"),
+        F.min(finite).alias("lo"),
+        F.max(finite).alias("hi"),
+    ).collect()[0]
+    n_neg, n_pos = int(row["n_neg"]), int(row["n_pos"])
+    # target rank inside an infinite tie mass → single-value candidate; the
+    # caller's exact-hit path resolves the tie set by the next order column
+    if n_neg >= r_asc > 0:
+        return [-inf]
+    if r_asc > n - n_pos:
+        return [inf]
+    lo, hi = row["lo"], row["hi"]
+    if lo is None:
+        return [-inf] if n_neg else ([inf] if n_pos else None)
+    lo, hi = float(lo), float(hi)
+    if lo == hi:
+        return [lo]
+    base = n_neg  # rows ranked strictly below the current [lo, hi] bracket
+    for level in range(_HIST_MAX_LEVELS):
+        width = (hi - lo) / _HIST_BINS
+        if not (math.isfinite(width) and width > 0):
+            return [lo, hi]
+        bin_idx = F.least(
+            F.greatest(F.floor((c - lo) / width), F.lit(0)),
+            F.lit(_HIST_BINS - 1),
+        )
+        hist = (df.filter((c >= lo) & (c <= hi))
+                  .groupBy(bin_idx.alias("_bin")).count()
+                  .collect())
+        cum = base
+        j = bin_count = None
+        for r in sorted(hist, key=lambda r: r["_bin"]):
+            if cum + r["count"] >= r_asc:
+                j, bin_count, base = int(r["_bin"]), int(r["count"]), cum
+                break
+            cum += r["count"]
+        if j is None:  # float-edge rounding: rank sits past the last bin
+            return [lo, hi]
+        e0, e1 = lo + j * width, min(hi, lo + (j + 1) * width)
+        if bin_count <= MAX_BOUNDARY_COLLECT or e0 >= e1:
+            return [e0, e1]
+        lo, hi = e0, e1
+    return [lo, hi]
 
 
 def _prefix_via_window(df: DataFrame, target: int, cols: list[str],
@@ -765,10 +850,12 @@ def _resolve_slice(S: DataFrame, m: int, cols: list[str], descs: list[bool],
         return S.limit(0)
     if m > MAX_BOUNDARY_COLLECT:
         return _prefix_via_window(S, m, cols, descs)
+    _t = time.time()
     keys = (S.select(*join_cols, *[c for c in cols if c not in join_cols])
              .orderBy(*_order_cols(cols, descs))
              .select(*join_cols)
              .limit(m).collect())
+    _trace(f"resolve_slice collect m={m}", _t)
     if not keys:
         return S.limit(0)
     kdf = S.sparkSession.createDataFrame(
@@ -787,11 +874,13 @@ def _prefix_rows(df: DataFrame, target: int, n: int, cols: list[str],
         return df
     col, desc = cols[0], descs[0]
     c = F.col(col)
-    err = max(1e-7, min(1e-3, 10_000.0 / n))
-    q = (n - target) / n if desc else target / n
-    probs = sorted({min(1.0, max(0.0, q + d)) for d in (-4 * err, 0.0, 4 * err)})
-    cands = df.stat.approxQuantile(col, probs, err)
-    cands = sorted({v for v in cands if v is not None}, reverse=desc)
+    # the target-th row in scan order is the (n-target)-th / target-th row
+    # by ASCENDING value (desc keeps the top of the value order)
+    r_asc = (n - target) if desc else target
+    _t = time.time()
+    cands = _rank_bracket_candidates(df, col, max(1, r_asc), n)
+    _t = _trace(f"rank-bracket histogram n={n}", _t)
+    cands = sorted({v for v in (cands or []) if v is not None}, reverse=desc)
     if not cands:
         return _prefix_via_window(df, target, cols, descs)
     before = (lambda v: c > v) if desc else (lambda v: c < v)
@@ -800,6 +889,7 @@ def _prefix_rows(df: DataFrame, target: int, n: int, cols: list[str],
         F.count(F.when(before(F.lit(v)), 1)).alias(f"b{i}"),
         F.count(F.when(through(F.lit(v)), 1)).alias(f"t{i}"),
     )]).collect()[0]
+    _trace("boundary-count agg", _t)
     stats = [(v, int(row[f"b{i}"]), int(row[f"t{i}"]))
              for i, v in enumerate(cands)]  # in prefix order
 
@@ -868,7 +958,9 @@ def retain_top_n(
     if n_keep >= n_total:
         return df
     s = F.col(score_col)
+    _t = time.time()
     n_nonnull = df.agg(F.count(s).alias("c")).collect()[0]["c"]
+    _trace("retain_top_n nonnull-count agg", _t)
     nonnull = df.filter(s.isNotNull()) if n_nonnull < n_total else df
     if n_keep > n_nonnull:
         # all non-null rows kept; the remainder comes from the NULL tail,

@@ -129,7 +129,8 @@ def _keyset(df):
 
 
 @pytest.mark.parametrize("scenario", ["continuous", "heavy_ties", "with_nulls",
-                                      "all_one_value"])
+                                      "all_one_value", "with_inf",
+                                      "skew_cluster"])
 def test_retain_top_n_matches_global_window(spark, scenario):
     """retain_top_n must select EXACTLY the rows the reference global
     row_number window selects (q_est desc nulls last, a/b/block asc),
@@ -150,6 +151,17 @@ def test_retain_top_n_matches_global_window(spark, scenario):
     elif scenario == "with_nulls":
         score = rng.normal(size=n)
         score[rng.random(n) < 0.3] = np.nan           # → NULL below
+    elif scenario == "with_inf":
+        # guarded inverted ratios: ±Inf tie masses around a finite core —
+        # the histogram candidates must peel the infinite masses exactly
+        score = rng.normal(size=n)
+        score[rng.random(n) < 0.2] = np.inf
+        score[rng.random(n) < 0.1] = -np.inf
+    elif scenario == "skew_cluster":
+        # 99% of mass inside a 1e-12-wide cluster: level-1 bins collapse
+        # into one bucket → the bracket refinement must keep narrowing
+        score = 7.0 + rng.random(n) * 1e-12
+        score[rng.random(n) < 0.01] = rng.normal()
     else:
         score = np.full(n, 2.5)                        # one giant tie set
     pdf = pd.DataFrame({"a": a, "b": b, "block": block, "score": score})
@@ -187,6 +199,31 @@ def test_retain_top_n_plan_has_no_global_single_partition_exchange(spark):
     want = _topn_reference(df, n // 3, "score", ("a", "b", "block"))
     assert _keyset(got) == _keyset(want)
     df.unpersist()
+
+
+def test_retain_top_n_histogram_refinement_under_skew(spark, monkeypatch):
+    """With the collect cap squeezed to 40 rows and every score packed into a
+    sub-bin-width cluster, the rank-bracket histogram must refine through
+    multiple levels (and, where a level-4 bracket is still oversized, fall
+    back to a window over the SLICE only) — and still match the reference
+    window exactly."""
+    import numpy as np
+
+    from automatedreclin_spark.operators import selection as sel
+
+    monkeypatch.setattr(sel, "MAX_BOUNDARY_COLLECT", 40)
+    rng = np.random.default_rng(11)
+    n = 3000
+    pdf = pd.DataFrame({
+        "a": np.arange(n), "b": np.arange(n) + 3, "block": np.arange(n) % 7,
+        # cluster at 1.0 + U(0, 1e-9): one level-1 bin holds everything
+        "score": 1.0 + rng.random(n) * 1e-9,
+    })
+    df = spark.createDataFrame(pdf)
+    for n_keep in (1, 123, n // 2, n - 1):
+        got = sel.retain_top_n(df, n_keep, "score", ("a", "b", "block"))
+        want = _topn_reference(df, n_keep, "score", ("a", "b", "block"))
+        assert _keyset(got) == _keyset(want), n_keep
 
 
 # --------------------------------------- flr/mmr distributed bisection ------
