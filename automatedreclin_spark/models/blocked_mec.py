@@ -49,6 +49,14 @@ from automatedreclin_spark.evaluation import evaluation, get_metrics, get_confus
 
 _INF = float("inf")
 
+#: alpha U-drop path: materialize the narrow U projection (keys + score +
+#: gammas, DISK_ONLY) once per iteration when |U| is at least this, so the
+#: ~9 retention/fit passes scan a compact columnar cache instead of
+#: re-running the anti join + hurdle-gamma ratio arithmetic over Ω each
+#: time (BENCH.md round-5 heavy adjudication). Plan-only: results are
+#: identical either way (pinned by test).
+_ALPHA_U_MATERIALIZE_MIN = 20_000_000
+
 
 @dataclass
 class BlockedMecResult:
@@ -432,17 +440,28 @@ def blocked_mec(
             m_df = scored.join(M, ["a", "b"], "left_semi") if n_M_count else scored
             match_params = _estimate_side(m_df, b_gammas, cpar_gammas, "M", m_fallback)
             _tt = _trace("alpha m-side estimate", _tt)
-            # U stays LAZY: it is a broadcast anti join (M is budget-sized)
-            # plus cheap arithmetic over the PERSISTED gamma base, so each of
-            # the ~5 downstream passes (retain_top_n sketch + counts,
-            # minimum-sample agg, U-side estimate) recomputes it from the
-            # columnar cache. Persisting it wrote a second near-full-size
-            # copy of Ω every iteration — at the 400M-pair heavy anchor that
-            # doubled cache footprint, churned MEMORY_AND_DISK re-spill, and
-            # OOM'd the 28 GB heap via deserialized disk-block re-promotion.
             U = scored.join(M, ["a", "b"], "left_anti")
             n_keep = n_U_count - requested_drop
             score_col = "q_est" if "q_est" in scored.columns else "ratio"
+            # The retention + fit make ~9 passes over U (nonnull count,
+            # rank-bracket min/max + 1-4 histogram levels, boundary counts,
+            # boundary-slice sort, minimum-sample + U-side fit) and every
+            # one references the score column, whose lazy definition is the
+            # full hurdle-gamma ratio arithmetic over Ω — ~400 s/pass at the
+            # 400M-pair heavy anchor (measured: 4,241 s side_fits, BENCH.md
+            # round-5 adjudication). Materialize ONE narrow projection
+            # (keys + score + gammas) instead, at DISK_ONLY: serialized
+            # columnar batches on local disk, zero heap pressure — unlike a
+            # full-width MEMORY_AND_DISK copy, which re-promoted
+            # deserialized blocks and OOM'd a 28 GB heap in an earlier run.
+            # Below the threshold the lazy recompute is cheaper than the
+            # write; tests monkeypatch it to 0 to pin plan-independence.
+            gammas = list(dict.fromkeys(b_gammas + cpar_gammas))
+            narrow_cols = list(dict.fromkeys(
+                ["a", "b", "block", score_col] + gammas))
+            materialized = n_U_count >= _ALPHA_U_MATERIALIZE_MIN
+            if materialized:
+                U = U.select(*narrow_cols).persist(StorageLevel.DISK_ONLY)
             # retention order (internals.R:1831-1839): q_est desc nulls last,
             # then (a, b, block) asc — computed scale-safe (sketch cut +
             # boundary-tie resolution), NOT a global row_number window that
@@ -451,24 +470,33 @@ def blocked_mec(
                                  tie_cols=("a", "b", "block"),
                                  n_total=n_U_count)
             _tt = _trace("alpha retain_top_n build", _tt)
-            # minimum-sample check: ≥2 positives per cpar var or valid fallback
+            # ONE pass over the retained set: minimum-sample positive counts
+            # (≥2 positives per cpar var or valid fallback) fused with the
+            # U-side fit aggregates — the fit row is discarded in the rare
+            # fallback-to-full-base case, where a second pass over full U
+            # (reference semantics, internals.R:1808-1815) is unavoidable.
+            aggs: list = [
+                F.count(F.when(F.col(g) > 0, 1)).alias(f"_pos_{g}")
+                for g in cpar_gammas
+            ]
+            if b_gammas:
+                aggs += fam.binary_fit_aggs(b_gammas, "rate")
+            if cpar_gammas:
+                aggs += fam.cpar_fit_aggs(cpar_gammas, "s")
+            fit_row = U_fit.agg(*aggs).collect()[0].asDict()
             ok = True
             if cpar_gammas:
                 prev_ok = prev_nonmatch is not None and "alpha" in (prev_nonmatch or {})
-                pos_counts = U_fit.agg(*[
-                    F.count(F.when(F.col(g) > 0, 1)).alias(g) for g in cpar_gammas
-                ]).collect()[0].asDict()
                 for i, g in enumerate(cpar_gammas):
                     fb_valid = prev_ok and math.isfinite(prev_nonmatch["alpha"][i]) \
                         and prev_nonmatch["alpha"][i] > 0
-                    if pos_counts[g] < 2 and not fb_valid:
+                    if fit_row[f"_pos_{g}"] < 2 and not fb_valid:
                         ok = False
                         break
             if ok:
                 n_U_fit = n_keep
                 reason = "alpha_reliability_drop"
             else:
-                U_fit = U
                 n_U_fit = n_U_count
                 reason = "minimum_sample_full_base"
             diagnostics.append({
@@ -476,9 +504,16 @@ def blocked_mec(
                 "requested_n_drop": requested_drop, "n_U_fit": n_U_fit,
                 "alpha_applied": reason == "alpha_reliability_drop", "reason": reason,
             })
-            _tt = _trace("alpha minimum-sample check", _tt)
-            # nonmatch-side params from S_U.
-            nonmatch_params = _estimate_side(U_fit, b_gammas, cpar_gammas, "U", u_fallback)
+            _tt = _trace("alpha retained-set fused agg", _tt)
+            # nonmatch-side params from S_U (or full U on fallback).
+            if ok:
+                nonmatch_params = _side_params_from_row(
+                    fit_row, b_gammas, cpar_gammas, "U", u_fallback)
+            else:
+                nonmatch_params = _estimate_side(
+                    U, b_gammas, cpar_gammas, "U", u_fallback)
+            if materialized:
+                U.unpersist()
             _trace("alpha u-side estimate", _tt)
 
         _side_fits_sec = time.time() - _sub_t0

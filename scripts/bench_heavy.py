@@ -79,45 +79,50 @@ def main() -> None:
 
     A, B = _record_sets(spark, str(view_dir))
 
+    # SPARK_GRAFT_HEAVY_STAGES=alpha → skip the scoring + plain-fit stages
+    # and the BENCH.md rewrite (targeted alpha re-measure; JSON only).
+    alpha_only = os.environ.get("SPARK_GRAFT_HEAVY_STAGES", "all") == "alpha"
+
     results: dict = {}
     # Host-noise attribution: bracket EVERY stage with the no-Spark kernel
     # probe (bench.py) so a slow wall can be pinned to the host or the code.
     results["probe_pre_scoring"] = kernel_probe(32)
 
-    # 1) scoring throughput: binary + jaro gammas over block pairs
     pairs = block_pairs(A, B, dedup=False)
-    cv = comparison_vectors(
-        A, B, ["name", "seg"],
-        comparators={"name": jarowinkler_complement(), "seg": cmp_identical()},
-        pairs=pairs, check_finite=False,
-    )
-    cv.omega.write.format("noop").mode("overwrite").save()  # warm
-    t0 = time.time()
-    cv.omega.write.format("noop").mode("overwrite").save()
-    score_sec = time.time() - t0
-    n_pairs = cv.n
-    results["scoring_pairs"] = n_pairs
-    results["scoring_sec"] = round(score_sec, 2)
-    results["pairs_per_sec"] = round(n_pairs / score_sec, 1)
-    results["probe_pre_fit"] = kernel_probe(32)
-    # partial-results line after every stage: a mid-run crash (e.g. the r5
-    # heartbeat-expiry context teardown) must not lose completed numbers
-    print("PARTIAL " + json.dumps(results), flush=True)
+    if not alpha_only:
+        # 1) scoring throughput: binary + jaro gammas over block pairs
+        cv = comparison_vectors(
+            A, B, ["name", "seg"],
+            comparators={"name": jarowinkler_complement(), "seg": cmp_identical()},
+            pairs=pairs, check_finite=False,
+        )
+        cv.omega.write.format("noop").mode("overwrite").save()  # warm
+        t0 = time.time()
+        cv.omega.write.format("noop").mode("overwrite").save()
+        score_sec = time.time() - t0
+        n_pairs = cv.n
+        results["scoring_pairs"] = n_pairs
+        results["scoring_sec"] = round(score_sec, 2)
+        results["pairs_per_sec"] = round(n_pairs / score_sec, 1)
+        results["probe_pre_fit"] = kernel_probe(32)
+        # partial-results line after every stage: a mid-run crash (e.g. the r5
+        # heartbeat-expiry context teardown) must not lose completed numbers
+        print("PARTIAL " + json.dumps(results), flush=True)
 
-    # 2) full MEC fit (block-constrained pairs) wall time at the heavy size
-    t0 = time.time()
-    res = mec(A, B, variables=["name", "seg"],
-              pairs=pairs.select("block", "a", "b"), block_col="block")
-    fit_sec = time.time() - t0
-    results["mec_fit_sec"] = round(fit_sec, 2)
-    results["mec_n_iter"] = res.n_iter
-    results["mec_m_est"] = res.M_est.count()
-    # stage attribution: where the fit wall actually goes
-    results["mec_stage_seconds"] = res.stage_seconds
-    results["mec_iter_seconds"] = [round(x, 2) for x in res.iter_seconds]
-    results["mec_iter_substage_seconds"] = res.iter_substage_seconds
-    results["probe_post_fit"] = kernel_probe(32)
-    print("PARTIAL " + json.dumps(results), flush=True)
+        # 2) full MEC fit (block-constrained pairs) wall at the heavy size
+        t0 = time.time()
+        res = mec(A, B, variables=["name", "seg"],
+                  pairs=pairs.select("block", "a", "b"), block_col="block")
+        fit_sec = time.time() - t0
+        results["mec_fit_sec"] = round(fit_sec, 2)
+        results["mec_n_iter"] = res.n_iter
+        results["mec_m_est"] = res.M_est.count()
+        # stage attribution: where the fit wall actually goes
+        results["mec_stage_seconds"] = res.stage_seconds
+        results["mec_iter_seconds"] = [round(x, 2) for x in res.iter_seconds]
+        results["mec_iter_substage_seconds"] = res.iter_substage_seconds
+        results["probe_post_fit"] = kernel_probe(32)
+        print("PARTIAL " + json.dumps(results), flush=True)
 
     # 3) optional: blocked inverted MEC with alpha U-drop at the heavy size —
     # the T6 sketch-retention scale path under a real 10^8-row U.
@@ -154,11 +159,13 @@ def main() -> None:
             f"{len(applied)} of them): **{alpha_sec:.1f} s**, "
             f"|M_est| = {int(bres.n_M_est):,} — the retention ranks "
             f"~{max(applied) if applied else 0:,} kept U rows per iteration "
-            f"via approxQuantile cut + boundary ties only (no "
-            f"single-partition window)",
+            f"via an exact rank-bracket histogram cut + boundary ties only "
+            f"(no single-partition window, no approxQuantile digest)",
         ]
 
     print(json.dumps(results))
+    if alpha_only:
+        return
 
     bench_md = REPO / "BENCH.md"
     lines = bench_md.read_text().splitlines()

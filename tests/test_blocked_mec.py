@@ -6,7 +6,10 @@ import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
-from automatedreclin_spark.functions.comparators import jarowinkler_complement
+from automatedreclin_spark.functions.comparators import (
+    abs_distance,
+    jarowinkler_complement,
+)
 from automatedreclin_spark.models.blocked_mec import blocked_mec
 
 
@@ -265,6 +268,51 @@ def test_alpha_drop_scale_path_matches_window_reference(spark, monkeypatch):
     assert m_fast == m_ref
     assert list(d_fast["n_U_fit"]) == list(d_ref["n_U_fit"])
     assert list(d_fast["reason"]) == list(d_ref["reason"])
+
+
+def test_alpha_u_materialization_is_plan_only(spark, monkeypatch):
+    """The DISK_ONLY narrow-U materialization in the alpha-drop path is a
+    physical-plan choice only: forcing it on (threshold 0) must reproduce
+    the lazy path bit-for-bit — same M_est pairs and ratios, same side
+    params, same per-iteration diagnostics."""
+    import numpy as np
+
+    import automatedreclin_spark.models.blocked_mec as bm
+
+    rng = np.random.default_rng(3)
+    n = 90
+    names = [f"n{i:03d}" for i in range(n)]
+    b_names = [s if i % 3 == 0 else f"x{i:03d}" for i, s in enumerate(names)]
+    vals = np.round(rng.gamma(2.0, 1.5, n), 3)
+    A = spark.createDataFrame(pd.DataFrame({
+        "a": range(1, n + 1), "name": names, "amount": vals,
+        "block": [i % 4 for i in range(n)],
+    }))
+    B = spark.createDataFrame(pd.DataFrame({
+        "b": range(1, n + 1), "name": b_names,
+        "amount": np.where(np.arange(n) % 3 == 0, vals, np.round(vals * 1.7 + 0.4, 3)),
+        "block": [i % 4 for i in range(n)],
+    }))
+
+    def run():
+        res = blocked_mec(A, B, ["name", "amount"],
+                          methods={"amount": "continuous_parametric"},
+                          comparators={"amount": abs_distance()},
+                          alpha=0.4)
+        m = sorted(map(tuple, res.M_est.select("a", "b", "ratio").collect()))
+        return m, res.u_fit_diagnostics, res.b_params, res.cpar_params
+
+    monkeypatch.setattr(bm, "_ALPHA_U_MATERIALIZE_MIN", 0)
+    m_mat, d_mat, bp_mat, cp_mat = run()
+    assert "alpha_reliability_drop" in set(d_mat["reason"]), d_mat
+
+    monkeypatch.setattr(bm, "_ALPHA_U_MATERIALIZE_MIN", 1 << 62)
+    m_lazy, d_lazy, bp_lazy, cp_lazy = run()
+    assert m_mat == m_lazy
+    assert list(d_mat["n_U_fit"]) == list(d_lazy["n_U_fit"])
+    assert list(d_mat["reason"]) == list(d_lazy["reason"])
+    pd.testing.assert_frame_equal(pd.DataFrame(bp_mat), pd.DataFrame(bp_lazy))
+    pd.testing.assert_frame_equal(pd.DataFrame(cp_mat), pd.DataFrame(cp_lazy))
 
 
 def test_duplicates_in_A_relaxes_b_reuse(spark):
