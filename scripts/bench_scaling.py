@@ -203,9 +203,11 @@ def main() -> None:
         f"   ({kc['sec8']:.2f} s → {kc['sec32']:.2f} s for fixed work). String",
         "   scoring is memory-traffic-heavy; 32 SMT cores share DRAM bandwidth.",
         "",
-        f"The Spark end-to-end scoring job ({eff:.3f}) scales at/above the level",
-        f"of its own dominant kernel's no-Spark ceiling ({kc['eff']:.3f} this visit;",
-        "0.52–0.61 across visits) — i.e. the gap to 0.8 is",
+        f"The Spark end-to-end scoring job ({eff:.3f}) scales near or above the",
+        f"level of its own dominant kernel's no-Spark ceiling ({kc['eff']:.3f} this",
+        "visit; 0.47–0.81 across visits — see Measurement stability; the two",
+        "numbers are measured minutes apart and a single visit can land either",
+        "side) — i.e. the gap to 0.8 is",
         "the machine's memory system, not Spark overhead. On a real N→4N",
         "executor cluster (independent machines, independent memory buses) the",
         "same plan shuffles nothing between scan and scorer, so per-executor",
