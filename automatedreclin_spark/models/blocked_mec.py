@@ -53,9 +53,14 @@ _INF = float("inf")
 #: gammas, DISK_ONLY) once per iteration when |U| is at least this, so the
 #: ~9 retention/fit passes scan a compact columnar cache instead of
 #: re-running the anti join + hurdle-gamma ratio arithmetic over Ω each
-#: time (BENCH.md round-5 heavy adjudication). Plan-only: results are
-#: identical either way (pinned by test).
-_ALPHA_U_MATERIALIZE_MIN = 20_000_000
+#: time (BENCH.md round-5 heavy adjudication). The lazy per-pass cost
+#: scales with |Ω| (full anti join + arithmetic) while the write scales
+#: with the NARROW |U|, so materializing wins at any non-toy size —
+#: measured 4,241→90 s at the 400M heavy anchor and 26→~2 s per alpha
+#: iteration at sf0.1 (|U| ≈ 4M). The floor only spares toy/test fits the
+#: fixed persist/unpersist latency. Plan-only: results are identical
+#: either way (pinned by test).
+_ALPHA_U_MATERIALIZE_MIN = 1_000_000
 
 
 @dataclass

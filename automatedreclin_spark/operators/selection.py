@@ -25,6 +25,7 @@ mirroring the reference's deterministic tie-breaking (internals.R:1714, 1838).
 
 from __future__ import annotations
 
+import bisect
 import math
 import os
 import time
@@ -560,6 +561,14 @@ MAX_DISTINCT_RATIO_COLLECT = 65_536
 #: candidate thresholds → 2·(2^L−1) agg columns)
 _BISECT_BATCH_LEVELS = 5
 
+#: bracket localization bound for the distributed FLR/MMR bisection: when
+#: the current bracket's Ω slice holds at most this many rows, its exact
+#: per-distinct-ratio (count, Σĝ) table is collected once (≤ this many
+#: groups, bounded driver memory) and the remaining bisection finishes
+#: driver-side. log2(|Ω| / this) batch aggregations reach the bound — ~10
+#: halvings ≈ 2 batches at a 400M-pair Ω.
+_BISECT_LOCALIZE_MAX_ROWS = 500_000
+
 
 def _dyadic_thresholds(lo: float, hi: float, levels: int) -> list[float]:
     """Every threshold the sequential bisection CAN visit in the next
@@ -670,8 +679,14 @@ def summarize_mec_selection(
         min_t, max_t = float(ratios[-1]), float(ratios[0])
     else:
         strategy = "distributed"
-        mm = omega.agg(F.min("ratio").alias("lo"),
-                       F.max("ratio").alias("hi")).collect()[0]
+        # Narrow lazy projection: the handful of batch aggregations and the
+        # localization slice need only (ratio, g_est). Left UNPERSISTED on
+        # purpose: with bracket localization the whole bisection costs ~2-4
+        # passes, fewer than a materialization would need to pay for itself
+        # (omega is a cheap projection over the fit's persisted gamma base).
+        bisect_base = omega.select("ratio", "g_est")
+        mm = bisect_base.agg(F.min("ratio").alias("lo"),
+                             F.max("ratio").alias("hi")).collect()[0]
         min_t, max_t = float(mm["lo"]), float(mm["hi"])
         _cache: dict[float, tuple[int, float]] = {}
 
@@ -684,17 +699,87 @@ def summarize_mec_selection(
                 cond = F.col("ratio") >= t
                 aggs.append(F.count(F.when(cond, 1)).alias(f"n{i}"))
                 aggs.append(F.sum(F.when(cond, F.col("g_est"))).alias(f"g{i}"))
-            row = omega.agg(*aggs).collect()[0]
+            row = bisect_base.agg(*aggs).collect()[0]
             for i, t in enumerate(ts):
                 _cache[t] = (int(row[f"n{i}"]), float(row[f"g{i}"] or 0.0))
 
+        # Bracket localization: once the CURRENT bracket's slice of Ω holds
+        # ≤ _BISECT_LOCALIZE_MAX_ROWS rows, collect its exact per-distinct-
+        # ratio (count, Σĝ) table ONCE and finish every remaining bisection
+        # step with driver-side suffix sums anchored at the evaluated upper
+        # endpoint: {ratio ≥ t} = {ratio ≥ hi} ∪ {t ≤ ratio < hi} for any
+        # t the loop can still visit (bisection never leaves its bracket).
+        # This is the exact_collect strategy scoped to the bracket — the
+        # sequential thresholds are unchanged, only the physical evaluation
+        # moves off-cluster. A target rate sitting on a jump of the FLR step
+        # function otherwise runs ~max_iter/L batch aggregations (measured:
+        # 20 cluster jobs for a 100-iter flr fit); with localization the
+        # whole endgame costs one bounded slice collect.
+        _local: dict | None = None
+
+        def _try_localize() -> None:
+            nonlocal _local
+            lo_ev, hi_ev = _cache.get(min_t), _cache.get(max_t)
+            if lo_ev is None or hi_ev is None:
+                return
+            if lo_ev[0] - hi_ev[0] > _BISECT_LOCALIZE_MAX_ROWS:
+                return
+            slice_pdf = (
+                bisect_base
+                .filter((F.col("ratio") >= min_t) & (F.col("ratio") < max_t))
+                .groupBy("ratio")
+                .agg(F.count(F.lit(1)).alias("cnt"),
+                     F.sum("g_est").alias("g_sum"))
+                .orderBy(F.col("ratio").desc())
+                .toPandas()
+            )
+            _local = {
+                "lo": min_t, "hi": max_t,
+                "n_hi": hi_ev[0], "g_hi": hi_ev[1],
+                "ratios": slice_pdf["ratio"].to_numpy(dtype=np.float64),
+                "cum_n": slice_pdf["cnt"].to_numpy(dtype=np.int64).cumsum(),
+                # all-null g groups surface as NaN in pandas — mirror the
+                # batch-eval `or 0.0` convention
+                "cum_g": slice_pdf["g_sum"].fillna(0.0)
+                .to_numpy(dtype=np.float64).cumsum(),
+            }
+
+        def _serve_local(t: float) -> tuple[int, float]:
+            k = int(np.searchsorted(-_local["ratios"], -t, side="right"))
+            if k == 0:
+                out = (_local["n_hi"], _local["g_hi"])
+            else:
+                out = (_local["n_hi"] + int(_local["cum_n"][k - 1]),
+                       _local["g_hi"] + float(_local["cum_g"][k - 1]))
+            _cache[t] = out
+            return out
+
         def n_and_g_at(threshold: float) -> tuple[int, float]:
             if threshold not in _cache:
+                if (_local is not None and _local["lo"] <= threshold
+                        and threshold <= _local["hi"]):
+                    return _serve_local(threshold)
+                # Interval shortcut: n(t) = |{ratio ≥ t}| is a non-increasing
+                # step function, so if two already-evaluated thresholds
+                # bracketing this one have EQUAL counts, the selected set —
+                # and hence (n, Σĝ) — is constant across the whole interval;
+                # serve the probe by driver arithmetic.
+                ts = sorted(_cache)
+                i = bisect.bisect_left(ts, threshold)
+                if 0 < i < len(ts) and _cache[ts[i - 1]][0] == _cache[ts[i]][0]:
+                    _cache[threshold] = _cache[ts[i - 1]]
+                    return _cache[threshold]
+                _try_localize()
+                if (_local is not None and _local["lo"] <= threshold
+                        and threshold <= _local["hi"]):
+                    return _serve_local(threshold)
                 # prefetch every threshold the next L bisection steps can
-                # visit from the CURRENT bracket — one agg per L steps
+                # visit from the CURRENT bracket — one agg per L steps;
+                # include the bracket endpoints so localization can anchor
+                # as soon as the bracket is small enough
                 _batch_eval(_dyadic_thresholds(min_t, max_t,
                                                _BISECT_BATCH_LEVELS)
-                            + [threshold])
+                            + [threshold, min_t, max_t])
             return _cache[threshold]
     threshold = (min_t + max_t) / 2.0
     it = 0

@@ -247,9 +247,18 @@ def _continuous_omega(spark, n):
 def test_flr_mmr_distributed_bisection_no_collect(spark, monkeypatch):
     """Continuous-gamma Ω with ≥10⁶ distinct ratios: the flr/mmr bisection
     must never collect the distinct-ratio table (toPandas is poisoned) and
-    must still hit the target rate within tol."""
-    from pyspark.sql import DataFrame
+    must still hit the target rate within tol. Bracket localization is
+    disabled here to pin the PURE distributed arm — its own bounded slice
+    collect is covered by test_flr_bracket_localization_equivalence.
 
+    NOTE: the poison must land on the CLASSIC DataFrame class — in Spark 4
+    instances are pyspark.sql.classic.dataframe.DataFrame, whose own
+    toPandas overrides anything patched on the pyspark.sql.DataFrame
+    parent (a parent-only poison is silently vacuous)."""
+    from pyspark.sql.classic.dataframe import DataFrame
+    import automatedreclin_spark.operators.selection as sel
+
+    monkeypatch.setattr(sel, "_BISECT_LOCALIZE_MAX_ROWS", -1)
     omega = _continuous_omega(spark, 1_200_000).persist()
     n_total = omega.count()
     assert omega.select("ratio").distinct().count() > 1_000_000
@@ -292,6 +301,49 @@ def test_flr_distributed_matches_exact_collect_path(spark, monkeypatch):
     assert n_dist == exact.selected.count()
     assert abs(dist.flr_est - exact.flr_est) < 1e-9
     assert abs(dist.mmr_est - exact.mmr_est) < 1e-9
+    omega.unpersist()
+
+
+def test_flr_bracket_localization_equivalence(spark, monkeypatch):
+    """The bracket-localization endgame (bounded slice collect + driver-side
+    suffix sums) must give the same iteration count, selected set, and rates
+    as the pure batch-aggregation arm — including on a target rate that sits
+    on a jump of the FLR step function and runs the bisection to max_iter."""
+    import automatedreclin_spark.operators.selection as sel
+
+    # pure continuous ratios + an effectively-unreachable tol → the loop
+    # runs to max_iter honing on a single-row jump of the FLR step function,
+    # where neighboring probe counts always differ (the interval shortcut
+    # can't serve) and the bracket slice shrinks under the localization
+    # bound within a few halvings
+    omega = _continuous_omega(spark, 200_000).persist()
+    kw = dict(n_M_est=80_000.0, set_construction="flr",
+              target_rate=0.05, tol=1e-12, max_iter=60,
+              exact_collect_max=0)
+    # spy: the localization slice collect must actually fire in this arm
+    # (classic class — see the no_collect test's NOTE)
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    calls = {"n": 0}
+    orig_topandas = DataFrame.toPandas
+
+    def counting(self, *a, **k):
+        calls["n"] += 1
+        return orig_topandas(self, *a, **k)
+
+    monkeypatch.setattr(DataFrame, "toPandas", counting)
+    local = summarize_mec_selection(omega, **kw)
+    n_local = local.selected.count()
+    monkeypatch.setattr(DataFrame, "toPandas", orig_topandas)
+    assert calls["n"] >= 1, "bracket localization never triggered"
+    monkeypatch.setattr(sel, "_BISECT_LOCALIZE_MAX_ROWS", -1)
+    pure = summarize_mec_selection(omega, **kw)
+    assert local.iter == pure.iter == 60
+    assert n_local == pure.selected.count()
+    assert local.selected.exceptAll(pure.selected).count() == 0
+    assert pure.selected.exceptAll(local.selected).count() == 0
+    assert abs(local.flr_est - pure.flr_est) < 1e-9
+    assert abs(local.mmr_est - pure.mmr_est) < 1e-9
     omega.unpersist()
 
 
