@@ -849,6 +849,10 @@ _HIST_BINS = 65_536
 #: histogram refinement depth cap; past it the current bracket is returned
 #: and the window-over-slice fallback absorbs an oversized boundary.
 _HIST_MAX_LEVELS = 4
+#: refine until the boundary slice is at most this many rows (or refinement
+#: stops progressing) — sorting the slice costs ~linear driver-merge work,
+#: one more histogram level costs one codegen pass over the input.
+_HIST_RESOLVE_TARGET = 100_000
 
 
 def _rank_bracket_candidates(df: DataFrame, col: str, r_asc: int,
@@ -889,6 +893,7 @@ def _rank_bracket_candidates(df: DataFrame, col: str, r_asc: int,
     if lo == hi:
         return [lo]
     base = n_neg  # rows ranked strictly below the current [lo, hi] bracket
+    prev_bin_count = None
     for level in range(_HIST_MAX_LEVELS):
         width = (hi - lo) / _HIST_BINS
         if not (math.isfinite(width) and width > 0):
@@ -910,8 +915,17 @@ def _rank_bracket_candidates(df: DataFrame, col: str, r_asc: int,
         if j is None:  # float-edge rounding: rank sits past the last bin
             return [lo, hi]
         e0, e1 = lo + j * width, min(hi, lo + (j + 1) * width)
-        if bin_count <= MAX_BOUNDARY_COLLECT or e0 >= e1:
+        # Stop when the boundary slice is small enough that sorting it is
+        # cheaper than another full-input histogram pass — NOT merely
+        # collectable: a 459k-row slice under the 2M collect bound costs a
+        # multi-second driver-merged sort that one more ~1 s codegen pass
+        # shrinks ~bins-fold. A no-progress level (bin_count unchanged —
+        # the mass is an exact tie the caller's key-order resolution must
+        # handle anyway) stops immediately.
+        if (bin_count <= _HIST_RESOLVE_TARGET or e0 >= e1
+                or bin_count == prev_bin_count):
             return [e0, e1]
+        prev_bin_count = bin_count
         lo, hi = e0, e1
     return [lo, hi]
 
@@ -926,16 +940,37 @@ def _prefix_via_window(df: DataFrame, target: int, cols: list[str],
 
 
 def _resolve_slice(S: DataFrame, m: int, cols: list[str], descs: list[bool],
-                   join_cols: list[str]) -> DataFrame:
+                   join_cols: list[str], n_slice: int | None = None) -> DataFrame:
     """Top-m of a boundary slice S (already sketch-error-sized): fetch the m
     winning key tuples with a driver-merged TakeOrderedAndProject and
     broadcast-semi-join them back on the unique tie keys. Falls back to a
-    window over S (not the full input) if m is abnormally large."""
+    window over S (not the full input) if m is abnormally large.
+
+    ``n_slice`` (exact |S|, known for free to the between-candidates caller
+    from its boundary-count aggregation) routes by the SMALLER side: when
+    the kept prefix spans most of the slice — the common case when the cut
+    lands near a bracket edge — the (n_slice − m) LOSING keys are fetched
+    under the exactly-reversed total order and anti-joined instead
+    (measured: a 459k-key prefix fetch at sf0.1 became a ~0-row complement
+    fetch). The order over (score, tie keys) is total, so prefix and
+    complement partition S exactly."""
     if m <= 0:
         return S.limit(0)
+    if n_slice is not None and m >= n_slice:
+        return S
     if m > MAX_BOUNDARY_COLLECT:
         return _prefix_via_window(S, m, cols, descs)
     _t = time.time()
+    if n_slice is not None and n_slice - m < m:
+        k = n_slice - m
+        keys = (S.select(*join_cols, *[c for c in cols if c not in join_cols])
+                 .orderBy(*_order_cols(cols, [not d for d in descs]))
+                 .select(*join_cols)
+                 .limit(k).collect())
+        _trace(f"resolve_slice complement collect k={k}", _t)
+        kdf = S.sparkSession.createDataFrame(
+            [tuple(r) for r in keys], schema=S.select(*join_cols).schema)
+        return S.join(F.broadcast(kdf), on=join_cols, how="left_anti")
     keys = (S.select(*join_cols, *[c for c in cols if c not in join_cols])
              .orderBy(*_order_cols(cols, descs))
              .select(*join_cols)
@@ -1005,14 +1040,18 @@ def _prefix_rows(df: DataFrame, target: int, n: int, cols: list[str],
     definite = df.filter(through(F.lit(lo_v))) if lo_v is not None else df.limit(0)
     if lo_v is not None and hi_v is not None:
         S = df.filter(before(F.lit(hi_v)) & ~through(F.lit(lo_v)))
+        n_slice = hi_b - lo_t
     elif lo_v is not None:
         S = df.filter(~through(F.lit(lo_v)))
+        n_slice = n - lo_t
     elif hi_v is not None:
         S = df.filter(before(F.lit(hi_v)))
+        n_slice = hi_b
     else:
         return _prefix_via_window(df, target, cols, descs)
     return definite.unionByName(
-        _resolve_slice(S, target - lo_t, cols, descs, join_cols))
+        _resolve_slice(S, target - lo_t, cols, descs, join_cols,
+                       n_slice=n_slice))
 
 
 def retain_top_n(
