@@ -289,12 +289,22 @@ def _blocked_survivors_chunked(
     n_blocks = sizes.count()  # cached — cheap; gates the prefilter
     w = Window.partitionBy(block_col).orderBy(*order)
     parts: list[DataFrame] = []
-    # round 1 reads `narrow` directly (typically an already-persisted Ω
-    # projection) — only the shrinking residuals get materialized.
+    # Round 1 reads `narrow` directly (typically an already-persisted Ω
+    # projection) — every round's residual is then materialized
+    # (cut_lineage). Deferring the materialization (keeping the residual as
+    # a lazy anti-join over the last cut when a round removed little) was
+    # tried and MEASURED SLOWER at the 400M-pair heavy anchor: the write it
+    # saves (~40 s at 396M rows) is smaller than the cost it adds to every
+    # subsequent pass, which then re-scans Ω and recomputes the hurdle-ratio
+    # arithmetic instead of reading a compact checkpoint (prefilter
+    # 20.7 s → 79.9 s, sweep 16.5 s → 51.8 s on the round after a deferral
+    # — BENCH.md round-5 adjudication). The per-round residual write pays
+    # for itself.
     remaining = narrow
     n_remaining = n_pairs
     growth = 1
     for round_no in range(_BLOCK_CHUNK_MAX_ROUNDS):
+        _t = time.time()
         base, prefilter_modes = remaining, None
         if (n_remaining is not None and n_remaining > _BLOCK_PREFILTER_MIN
                 and n_blocks <= _BLOCK_PREFILTER_MAX_BLOCKS):
@@ -303,6 +313,7 @@ def _blocked_survivors_chunked(
             base, prefilter_modes = _block_top_prefilter(
                 remaining, sizes, block_col, ascending, invalid_to_never,
                 growth)
+            _t = _trace(f"chunked-sweep r{round_no} prefilter", _t)
         chunk = (
             base.withColumn("_rk", F.row_number().over(w))
             .join(sizes, block_col)
@@ -314,6 +325,7 @@ def _blocked_survivors_chunked(
                                           invalid_to_never),
             schema=narrow.schema,
         ))
+        _t = _trace(f"chunked-sweep r{round_no} sort+sweep", _t)
         if prefilter_modes is not None:
             prefilter_modes.unpersist()
         parts.append(sel)
@@ -325,6 +337,7 @@ def _blocked_survivors_chunked(
         remaining.unpersist()
         remaining = nxt
         n_rem = remaining.count()
+        _trace(f"chunked-sweep r{round_no} residual n_rem={n_rem}", _t)
         n_remaining = n_rem
         if round_log is not None:
             round_log.append((round_no, n_rem))

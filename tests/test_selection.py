@@ -764,6 +764,36 @@ def test_block_top_prefilter_output_is_top_capr_superset(spark):
         assert not missing, f"block {blk}: top rows lost {missing[:5]}"
 
 
+def test_chunked_sweep_complete_bipartite_tie_front(spark, monkeypatch):
+    """A complete bipartite tie class (every pair the same ratio) makes each
+    round's (a, b)-ordered prefix cover few distinct records, so residuals
+    shrink slowly and the sweep is forced through many rounds — it must
+    still produce exactly the one-shot survivor set (the zip of sorted a's
+    and sorted b's). This is the structure behind the heavy anchor's
+    slow iteration-2 select (BENCH.md round-5 adjudication)."""
+    import automatedreclin_spark.operators.selection as sel
+
+    n_rec = 40
+    pdf = pd.DataFrame([
+        {"block": 1, "a": i, "b": 1000 + j, "ratio": 1.0}
+        for i in range(n_rec) for j in range(n_rec)
+    ])
+    df = spark.createDataFrame(pdf)
+    want = {(i, 1000 + i) for i in range(n_rec)}
+
+    monkeypatch.setattr(sel, "_BLOCK_CHUNK_FLOOR", 8)
+    monkeypatch.setattr(sel, "_BLOCK_CHUNK_FACTOR", 1)
+    monkeypatch.setattr(sel, "_BLOCK_CHUNK_GROWTH", 2)
+    log: list = []
+    got = set(map(tuple, sel._blocked_survivors_chunked(
+        df.select("block", "a", "b", "ratio"), "block", False, False,
+        round_log=log, n_pairs=len(pdf),
+    ).select("a", "b").collect()))
+    assert got == want
+    assert len(log) >= 4, log  # the tie front must have forced many rounds
+    assert log[-1][1] == 0
+
+
 def test_chunked_sweep_adversarial_chain_across_boundaries(spark, monkeypatch):
     """Chain-structured ratios inside one block (pair i rejects pair i+1)
     with a chunk cap far smaller than the chain: the prefix rounds must
