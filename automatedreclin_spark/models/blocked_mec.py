@@ -281,6 +281,8 @@ def blocked_mec(
 
     # Structural per-block match cap: min(n_a, n_b) one-to-one, n_a when B
     # records may repeat (duplicates_in_A).
+    stage_seconds: dict[str, float] = {}
+    _stage_t0 = time.time()
     _cap = (F.col("n_a") if duplicates_in_A else F.least("n_a", "n_b"))
     if pairs is None:
         # Candidate pairs: within-block products (disjoint keys → no dedup),
@@ -351,7 +353,7 @@ def blocked_mec(
         F.col(g) ** 2 for g in cpar_gammas
     ]
     init_norm = F.sqrt(sum(disagreement_terms[1:], disagreement_terms[0]))
-    stage_seconds: dict[str, float] = {}
+    stage_seconds["pair_setup"] = round(time.time() - _stage_t0, 2)
     _stage_t0 = time.time()
     omega = omega.withColumn("init_disagreement", init_norm).persist(
         StorageLevel.MEMORY_AND_DISK
@@ -366,10 +368,14 @@ def blocked_mec(
     stage_seconds["init_agg"] = round(time.time() - _stage_t0, 2)
 
     _stage_t0 = time.time()
+    # keys_only: the init selection is consumed as (a, b) keys alone, so the
+    # full-row semi rejoin over Ω that select_mec_pairs would otherwise add
+    # (gammas + init_disagreement, discarded by the .select below) is skipped
+    # — one less pass over the persisted Ω (r6; guide §2.3 "project early").
     M = select_mec_pairs(
         omega, float(max(0, nu)), block_col="block", ascending=True,
         invalid_to_never=True, ratio_col="init_disagreement",
-        duplicates_in_A=duplicates_in_A, n_pairs=N,
+        duplicates_in_A=duplicates_in_A, n_pairs=N, keys_only=True,
     ).select("a", "b").persist(StorageLevel.MEMORY_AND_DISK)
     n_M_count = M.count()
     n_U_count = N - n_M_count
@@ -439,15 +445,50 @@ def blocked_mec(
             })
         else:
             # alpha U-drop path (T6): match side from M (full Ω if M empty —
-            # internals.R:1516-1518), then the ranked-retention U fit.
+            # internals.R:1516-1518), then the ranked-retention U fit. The
+            # m-side sufficient statistics AND the U retention's gate stats
+            # (non-null score count + approx distinct, for retain_top_n's
+            # exact-histogram path) come out of ONE flagged pass over Ω —
+            # replacing a semi-join m-side pass plus a separate nonnull-count
+            # pass over the U complement (r6; guide §2.3 map-side aggregate).
             from automatedreclin_spark.operators.selection import _trace
             _tt = time.time()
-            m_df = scored.join(M, ["a", "b"], "left_semi") if n_M_count else scored
-            match_params = _estimate_side(m_df, b_gammas, cpar_gammas, "M", m_fallback)
-            _tt = _trace("alpha m-side estimate", _tt)
+            score_col = "q_est" if "q_est" in scored.columns else "ratio"
+            gammas = list(dict.fromkeys(b_gammas + cpar_gammas))
+            if n_M_count:
+                keys = M.select("a", "b").withColumn("_in_m", F.lit(True))
+                if n_M_count <= 5_000_000:
+                    keys = F.broadcast(keys)
+                flagged = scored.join(keys, ["a", "b"], "left")
+                m_mask = F.col("_in_m").isNotNull()
+                u_mask = F.col("_in_m").isNull()
+            else:
+                flagged = scored
+                m_mask = F.lit(True)
+                u_mask = F.lit(True)
+            flagged = flagged.withColumns(
+                {f"{g}__m": F.when(m_mask, F.col(g)) for g in gammas})
+            side_aggs: list = []
+            if b_gammas:
+                side_aggs += fam.binary_fit_aggs(
+                    [f"{g}__m" for g in b_gammas], "rate")
+            if cpar_gammas:
+                side_aggs += fam.cpar_fit_aggs(
+                    [f"{g}__m" for g in cpar_gammas], "s")
+            side_aggs += [
+                F.count(F.when(u_mask, F.col(score_col))).alias("_u_nonnull"),
+                F.approx_count_distinct(
+                    F.when(u_mask, F.col(score_col))).alias("_u_acd"),
+            ]
+            side_row = flagged.agg(*side_aggs).collect()[0].asDict()
+            match_params = _side_params_from_row(
+                side_row, b_gammas, cpar_gammas, "M", m_fallback,
+                suffix="__m")
+            u_nonnull = int(side_row["_u_nonnull"])
+            u_acd = int(side_row["_u_acd"])
+            _tt = _trace("alpha fused m-side + U-gate stats", _tt)
             U = scored.join(M, ["a", "b"], "left_anti")
             n_keep = n_U_count - requested_drop
-            score_col = "q_est" if "q_est" in scored.columns else "ratio"
             # The retention + fit make ~9 passes over U (nonnull count,
             # rank-bracket min/max + 1-4 histogram levels, boundary counts,
             # boundary-slice sort, minimum-sample + U-side fit) and every
@@ -461,19 +502,20 @@ def blocked_mec(
             # deserialized blocks and OOM'd a 28 GB heap in an earlier run.
             # Below the threshold the lazy recompute is cheaper than the
             # write; tests monkeypatch it to 0 to pin plan-independence.
-            gammas = list(dict.fromkeys(b_gammas + cpar_gammas))
             narrow_cols = list(dict.fromkeys(
                 ["a", "b", "block", score_col] + gammas))
             materialized = n_U_count >= _ALPHA_U_MATERIALIZE_MIN
             if materialized:
                 U = U.select(*narrow_cols).persist(StorageLevel.DISK_ONLY)
             # retention order (internals.R:1831-1839): q_est desc nulls last,
-            # then (a, b, block) asc — computed scale-safe (sketch cut +
-            # boundary-tie resolution), NOT a global row_number window that
-            # would funnel every nonmatch through one task.
+            # then (a, b, block) asc — computed scale-safe (exact-histogram
+            # filter cut when the score cardinality is bounded, sketch cut +
+            # boundary-tie resolution otherwise), NOT a global row_number
+            # window that would funnel every nonmatch through one task.
             U_fit = retain_top_n(U, n_keep, score_col,
                                  tie_cols=("a", "b", "block"),
-                                 n_total=n_U_count)
+                                 n_total=n_U_count,
+                                 n_nonnull=u_nonnull, score_acd=u_acd)
             _tt = _trace("alpha retain_top_n build", _tt)
             # ONE pass over the retained set: minimum-sample positive counts
             # (≥2 positives per cpar var or valid fallback) fused with the

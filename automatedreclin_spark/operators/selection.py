@@ -857,6 +857,95 @@ def _order_cols(cols: list[str], descs: list[bool]):
     return [F.desc_nulls_last(c) if d else F.asc(c) for c, d in zip(cols, descs)]
 
 
+#: exact-histogram fast path (VERDICT r5 #3): when a level's distinct-value
+#: count is at most this, ONE groupBy(value).count() collect replaces the
+#: iterated fixed-width bin rounds + boundary-count agg + boundary-slice
+#: fetch, and the retained prefix becomes a pure FILTER over the input (no
+#: boundary-key broadcast join, no driver-merged slice sort). Score columns
+#: in the MEC fits are arithmetic over a handful of distinct gamma values,
+#: so this path fires at every scale — truly continuous scores exceed the
+#: gate and take the rank-bracket sketch path below unchanged.
+_EXACT_HIST_MAX_GROUPS = 65_536
+#: approx_count_distinct (default rsd 5%) gate with head-room so a true
+#: count marginally above the cap cannot sneak past the estimate; the
+#: collect itself re-checks the exact group count and falls back.
+_EXACT_HIST_ACD_GATE = int(_EXACT_HIST_MAX_GROUPS * 0.75)
+
+
+def _exact_hist_prefix_predicate(df: DataFrame, target: int, cols: list[str],
+                                 descs: list[bool],
+                                 acd_hint: int | None = None):
+    """Driver-exact lexicographic cut: a Column predicate P such that
+    ``df.filter(P)`` is EXACTLY the first ``target`` rows of df under
+    ``ORDER BY cols`` (descs[i] → desc, else asc), or None when any level's
+    cardinality exceeds the gate (caller falls back to the sketch path, so
+    exactness never depends on the gate). df must be null-free in ``cols``.
+
+    Per level: one approx_count_distinct gate (skipped for level 0 when the
+    caller fused it into an earlier agg — ``acd_hint``) and one
+    groupBy(value).count() collect over the current tie slice, which shrinks
+    to a single value class per level. Spark's total order on doubles (NaN
+    greatest, then +Inf; NaN = NaN is true, NaN > x is true for non-NaN x —
+    SQL NaN semantics) matches its comparison operators exactly, so the
+    strict/equality predicates reproduce the sort's row set bit-for-bit; the
+    driver-side sort mirrors it with the (isnan, value) key."""
+    sl = df
+    preds = []   # strict-prefix predicates accumulated over finished levels
+    eqs = F.lit(True)  # equality conjunction pinning the current tie slice
+    for lvl, (col, desc) in enumerate(zip(cols, descs)):
+        c = F.col(col)
+        if acd_hint is not None:
+            acd, acd_hint = acd_hint, None
+        else:
+            acd = int(sl.agg(F.approx_count_distinct(col).alias("d"))
+                      .collect()[0]["d"])
+        if acd > _EXACT_HIST_ACD_GATE:
+            return None
+        # fuse the NEXT level's per-class distinct count into this level's
+        # groupBy, so each level costs exactly one pass
+        aggs = [F.count(F.lit(1)).alias("count")]
+        if lvl + 1 < len(cols):
+            aggs.append(
+                F.approx_count_distinct(cols[lvl + 1]).alias("_acd_next"))
+        hist = sl.groupBy(col).agg(*aggs).collect()
+        if len(hist) > _EXACT_HIST_MAX_GROUPS or any(
+                r[col] is None for r in hist):
+            return None
+        rows = sorted(
+            hist,
+            key=lambda r: (isinstance(r[col], float) and math.isnan(r[col]),
+                           r[col]),
+            reverse=desc,
+        )
+        cum = 0
+        found = None
+        for r in rows:
+            if cum + int(r["count"]) >= target:
+                found = r
+                break
+            cum += int(r["count"])
+        if found is None:   # cannot happen for target ≤ Σcnt; stay safe
+            return None
+        v, n_before, cnt = found[col], cum, int(found["count"])
+        is_v = c == F.lit(v)   # Spark: NaN = NaN is true, groupBy folds NaN
+        strictly_better = (c > F.lit(v)) if desc else (c < F.lit(v))
+        preds.append(eqs & strictly_better)
+        m = target - n_before
+        if m >= cnt:           # tie class fully inside the prefix
+            preds.append(eqs & is_v)
+            out = preds[0]
+            for p in preds[1:]:
+                out = out | p
+            return out
+        eqs = eqs & is_v
+        sl = sl.filter(is_v)
+        target = m
+        # gate for the next level: the cut class's fused distinct count
+        acd_hint = (int(found["_acd_next"])
+                    if "_acd_next" in found.asDict() else None)
+    return None   # order columns exhausted inside a tie (non-unique keys)
+
+
 #: fixed-width bins per histogram level (collected to the driver: ≤64k rows)
 _HIST_BINS = 65_536
 #: histogram refinement depth cap; past it the current bracket is returned
@@ -997,14 +1086,22 @@ def _resolve_slice(S: DataFrame, m: int, cols: list[str], descs: list[bool],
 
 
 def _prefix_rows(df: DataFrame, target: int, n: int, cols: list[str],
-                 descs: list[bool], join_cols: list[str]) -> DataFrame:
+                 descs: list[bool], join_cols: list[str],
+                 acd_hint: int | None = None) -> DataFrame:
     """Exactly the first `target` of the `n` rows of df under
     ORDER BY cols[0] (desc/asc per descs), resolving ties by the remaining
-    cols. df must be null-free in cols[0]."""
+    cols. df must be null-free in cols[0]. ``acd_hint``: a fused
+    approx_count_distinct(cols[0]) from an earlier agg, gating the
+    exact-histogram fast path without its own pass."""
     if target <= 0:
         return df.limit(0)
     if target >= n:
         return df
+    _t0 = time.time()
+    pred = _exact_hist_prefix_predicate(df, target, cols, descs, acd_hint)
+    if pred is not None:
+        _trace(f"exact-hist prefix n={n}", _t0)
+        return df.filter(pred)
     col, desc = cols[0], descs[0]
     c = F.col(col)
     # the target-th row in scan order is the (n-target)-th / target-th row
@@ -1074,6 +1171,8 @@ def retain_top_n(
     tie_cols: list[str] | tuple[str, ...] = ("a", "b", "block"),
     n_total: int | None = None,
     descending: bool = True,
+    n_nonnull: int | None = None,
+    score_acd: int | None = None,
 ) -> DataFrame:
     """Exactly the rows ranked 1..n_keep under
     ``ORDER BY score_col DESC NULLS LAST, tie_cols ASC`` — the alpha U-drop
@@ -1096,8 +1195,15 @@ def retain_top_n(
         return df
     s = F.col(score_col)
     _t = time.time()
-    n_nonnull = df.agg(F.count(s).alias("c")).collect()[0]["c"]
-    _trace("retain_top_n nonnull-count agg", _t)
+    if n_nonnull is None or score_acd is None:
+        # approx_count_distinct fused into the same pass: gates the exact-
+        # histogram prefix path for free (see _exact_hist_prefix_predicate).
+        # Callers that already aggregated over the input (the alpha U-drop's
+        # fused side-stats pass) hand both in and skip this pass entirely.
+        row = df.agg(F.count(s).alias("c"),
+                     F.approx_count_distinct(s).alias("d")).collect()[0]
+        n_nonnull, score_acd = int(row["c"]), int(row["d"])
+        _trace("retain_top_n nonnull-count agg", _t)
     nonnull = df.filter(s.isNotNull()) if n_nonnull < n_total else df
     if n_keep > n_nonnull:
         # all non-null rows kept; the remainder comes from the NULL tail,
@@ -1109,7 +1215,8 @@ def retain_top_n(
         return nonnull.unionByName(tail)
     return _prefix_rows(nonnull, n_keep, n_nonnull,
                         [score_col, *tie_cols],
-                        [descending] + [False] * len(tie_cols), list(tie_cols))
+                        [descending] + [False] * len(tie_cols),
+                        list(tie_cols), acd_hint=score_acd)
 
 
 # ---------------------------------------------------------------------------

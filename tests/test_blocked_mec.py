@@ -254,7 +254,7 @@ def test_alpha_drop_scale_path_matches_window_reference(spark, monkeypatch):
     assert "alpha_reliability_drop" in set(d_fast["reason"]), d_fast
 
     def window_retention(df, n_keep, score_col, tie_cols=("a", "b", "block"),
-                         n_total=None):
+                         n_total=None, **_precomputed_stats):
         from pyspark.sql import functions as F
         from pyspark.sql.window import Window
 

@@ -128,16 +128,26 @@ def _keyset(df):
     return set(map(tuple, df.select("a", "b", "block").collect()))
 
 
+@pytest.mark.parametrize("path", ["exact_hist", "sketch"])
 @pytest.mark.parametrize("scenario", ["continuous", "heavy_ties", "with_nulls",
                                       "all_one_value", "with_inf",
                                       "skew_cluster"])
-def test_retain_top_n_matches_global_window(spark, scenario):
+def test_retain_top_n_matches_global_window(spark, scenario, path,
+                                            monkeypatch):
     """retain_top_n must select EXACTLY the rows the reference global
     row_number window selects (q_est desc nulls last, a/b/block asc),
-    including massive tie sets at the cut and NULL scores."""
+    including massive tie sets at the cut and NULL scores — on BOTH physical
+    paths: the r6 exact-histogram filter cut (fires whenever the per-level
+    distinct count is bounded — all these scenarios) and the rank-bracket
+    sketch path (forced by zeroing the ACD gate, as a truly continuous
+    score distribution would at scale)."""
     import numpy as np
 
+    from automatedreclin_spark.operators import selection as sel
     from automatedreclin_spark.operators.selection import retain_top_n
+
+    if path == "sketch":
+        monkeypatch.setattr(sel, "_EXACT_HIST_ACD_GATE", -1)
 
     rng = np.random.default_rng(17)
     n = 5000
@@ -212,6 +222,10 @@ def test_retain_top_n_histogram_refinement_under_skew(spark, monkeypatch):
     from automatedreclin_spark.operators import selection as sel
 
     monkeypatch.setattr(sel, "MAX_BOUNDARY_COLLECT", 40)
+    # force the sketch path: this test exists to exercise the histogram
+    # refinement, which the r6 exact-histogram cut would otherwise short-
+    # circuit (3000 distinct clustered values are well under its gate)
+    monkeypatch.setattr(sel, "_EXACT_HIST_ACD_GATE", -1)
     rng = np.random.default_rng(11)
     n = 3000
     pdf = pd.DataFrame({
