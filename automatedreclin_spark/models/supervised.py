@@ -116,8 +116,11 @@ def train_rec_lin(
         A, B, variables, comparators=comparators,
         a_col=a_col, b_col=b_col, check_finite=False,
     )
-    omega = label_pairs(cv.omega, matches)
+    # count first so the label join can be broadcast (matches is a join
+    # output whose size ESTIMATE blocks the automatic broadcast — the SMJ
+    # alternative shuffles + sorts the whole training cross product)
     n_M = matches.count()
+    omega = label_pairs(cv.omega, matches, n_matches=n_M)
 
     b_vars = [v for v in variables if methods[v] == "binary"]
     cpar_vars = [v for v in variables if methods[v] == "continuous_parametric"]

@@ -110,7 +110,16 @@ def comparison_vectors(
     comparators = {v: comparators[v] for v in variables}
 
     if pairs is None:
-        pair_df = cross_pairs(A, B, a_col=a_col, b_col=b_col)
+        # Parallelize the cross product by its INPUT, not its output: the
+        # BroadcastNestedLoopJoin's partitioning is the left side's, so
+        # repartitioning the (tiny) A side up front gives the expansion full
+        # parallelism — where the generic under-partition guard below would
+        # instead shuffle the ALREADY-EXPANDED pair table (73.5M rows paying
+        # an Exchange for a 15k-row problem at sf0.1; guide §2.4).
+        from automatedreclin_spark.operators.util import ensure_parallelism
+
+        pair_df = cross_pairs(ensure_parallelism(A, factor=3), B,
+                              a_col=a_col, b_col=b_col)
     else:
         pair_df = pairs.withColumnsRenamed({a_col: "a", b_col: "b"}) if (
             a_col != "a" or b_col != "b"
@@ -169,8 +178,8 @@ def comparison_vectors(
     )
 
     if matches is not None:
-        result.omega = label_pairs(omega, matches)
         n_matches = matches.count()
+        result.omega = label_pairs(omega, matches, n_matches=n_matches)
         result.match_prop = (
             n_matches / result.n * max(result.n_A, result.n_B) if result.n else None
         )

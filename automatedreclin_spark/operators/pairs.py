@@ -138,8 +138,25 @@ def has_perfect_agreement(A: DataFrame, B: DataFrame, variables: list[str]) -> b
     )
 
 
-def label_pairs(omega: DataFrame, matches: DataFrame) -> DataFrame:
+#: broadcast the match-label side of label_pairs up to this many pairs —
+#: two longs per row ≈ tens of MB at the cap, far cheaper than the
+#: SortMergeJoin alternative, which shuffles + sorts ALL of Ω.
+LABEL_BROADCAST_MAX = 5_000_000
+
+
+def label_pairs(omega: DataFrame, matches: DataFrame,
+                n_matches: int | None = None) -> DataFrame:
     """J5 — mark Ω rows present in ``matches`` with match=1.0 via left join on
-    (a, b) (reference ``comparison_vectors.R:176-185``)."""
+    (a, b) (reference ``comparison_vectors.R:176-185``).
+
+    ``n_matches``: pass the known match count to force a broadcast join when
+    small. ``matches`` is typically the output of a join, whose Catalyst size
+    ESTIMATE is far above the broadcast threshold even for a few thousand
+    rows — without the hint the label join plans as a SortMergeJoin that
+    shuffles and sorts every Ω row (measured: the dominant cost of the whole
+    supervised training pass at sf0.1; guide §3.1 "estimates are often badly
+    wrong after filters, use an explicit broadcast hint")."""
     flagged = matches.select("a", "b").withColumn("match", F.lit(1.0))
+    if n_matches is not None and n_matches <= LABEL_BROADCAST_MAX:
+        flagged = F.broadcast(flagged)
     return omega.join(flagged, ["a", "b"], "left").fillna({"match": 0.0})
