@@ -136,9 +136,15 @@ def q_cv_jaro(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C3: Jaro-complement gamma via Arrow-batched pandas UDF (the reference's
     jarowinkler_complement, comparators.R:37-42), restricted to same-(block,
     seg) pairs to bound the pair space."""
+    from automatedreclin_spark.operators.util import ensure_parallelism
+
     A, B = _record_sets(spark, sf_dir)
+    # Parallelize the probe side BEFORE the expansion (like block_pairs): the
+    # single-file scan would otherwise run the join in one task and
+    # comparison_vectors would repartition the already-expanded pair table
+    # (an Exchange of ~0.8M pair rows for a 10k-row problem; guide §2.4).
     pairs = (
-        A.select("block", "seg", "a")
+        ensure_parallelism(A.select("block", "seg", "a"), factor=3)
         .join(B.select("block", "seg", "b"), ["block", "seg"])
         .select("block", "a", "b")
     )

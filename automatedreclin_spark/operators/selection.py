@@ -666,8 +666,13 @@ def summarize_mec_selection(
         mmr_est = max(0.0, min(1.0, 1.0 - g_sum / n_sel))
         return SelectionSummary(selected, flr_est, mmr_est, None)
 
-    n_distinct = omega.agg(
-        F.approx_count_distinct("ratio").alias("d")).collect()[0]["d"]
+    # strategy gate + the distributed path's bracket endpoints in ONE pass
+    # (was: an approx_count_distinct pass plus a separate min/max pass)
+    gate_row = omega.agg(
+        F.approx_count_distinct("ratio").alias("d"),
+        F.min("ratio").alias("lo"), F.max("ratio").alias("hi"),
+    ).collect()[0]
+    n_distinct = gate_row["d"]
     collect_max = (MAX_DISTINCT_RATIO_COLLECT if exact_collect_max is None
                    else exact_collect_max)
     if n_distinct <= collect_max:
@@ -698,9 +703,7 @@ def summarize_mec_selection(
         # passes, fewer than a materialization would need to pay for itself
         # (omega is a cheap projection over the fit's persisted gamma base).
         bisect_base = omega.select("ratio", "g_est")
-        mm = bisect_base.agg(F.min("ratio").alias("lo"),
-                             F.max("ratio").alias("hi")).collect()[0]
-        min_t, max_t = float(mm["lo"]), float(mm["hi"])
+        min_t, max_t = float(gate_row["lo"]), float(gate_row["hi"])
         _cache: dict[float, tuple[int, float]] = {}
 
         def _batch_eval(ts: list[float]) -> None:
