@@ -446,47 +446,19 @@ def blocked_mec(
         else:
             # alpha U-drop path (T6): match side from M (full Ω if M empty —
             # internals.R:1516-1518), then the ranked-retention U fit. The
-            # m-side sufficient statistics AND the U retention's gate stats
-            # (non-null score count + approx distinct, for retain_top_n's
-            # exact-histogram path) come out of ONE flagged pass over Ω —
-            # replacing a semi-join m-side pass plus a separate nonnull-count
-            # pass over the U complement (r6; guide §2.3 map-side aggregate).
+            # m-side stats stay a SEMI-join aggregation: the aggregate's
+            # input is |M| rows after the broadcast-semi filter, where a
+            # flagged full-Ω pass with masked aggregates was measured 105.8 s
+            # at the 400M-pair heavy anchor (vs ~1 s of semi-agg benefit at
+            # sf0.1 — tried in r6 and reverted). retain_top_n's own fused
+            # nonnull+distinct pass doubles as the U-cache materializer.
             from automatedreclin_spark.operators.selection import _trace
             _tt = time.time()
             score_col = "q_est" if "q_est" in scored.columns else "ratio"
             gammas = list(dict.fromkeys(b_gammas + cpar_gammas))
-            if n_M_count:
-                keys = M.select("a", "b").withColumn("_in_m", F.lit(True))
-                if n_M_count <= 5_000_000:
-                    keys = F.broadcast(keys)
-                flagged = scored.join(keys, ["a", "b"], "left")
-                m_mask = F.col("_in_m").isNotNull()
-                u_mask = F.col("_in_m").isNull()
-            else:
-                flagged = scored
-                m_mask = F.lit(True)
-                u_mask = F.lit(True)
-            flagged = flagged.withColumns(
-                {f"{g}__m": F.when(m_mask, F.col(g)) for g in gammas})
-            side_aggs: list = []
-            if b_gammas:
-                side_aggs += fam.binary_fit_aggs(
-                    [f"{g}__m" for g in b_gammas], "rate")
-            if cpar_gammas:
-                side_aggs += fam.cpar_fit_aggs(
-                    [f"{g}__m" for g in cpar_gammas], "s")
-            side_aggs += [
-                F.count(F.when(u_mask, F.col(score_col))).alias("_u_nonnull"),
-                F.approx_count_distinct(
-                    F.when(u_mask, F.col(score_col))).alias("_u_acd"),
-            ]
-            side_row = flagged.agg(*side_aggs).collect()[0].asDict()
-            match_params = _side_params_from_row(
-                side_row, b_gammas, cpar_gammas, "M", m_fallback,
-                suffix="__m")
-            u_nonnull = int(side_row["_u_nonnull"])
-            u_acd = int(side_row["_u_acd"])
-            _tt = _trace("alpha fused m-side + U-gate stats", _tt)
+            m_df = scored.join(M, ["a", "b"], "left_semi") if n_M_count else scored
+            match_params = _estimate_side(m_df, b_gammas, cpar_gammas, "M", m_fallback)
+            _tt = _trace("alpha m-side estimate", _tt)
             U = scored.join(M, ["a", "b"], "left_anti")
             n_keep = n_U_count - requested_drop
             # The retention + fit make ~9 passes over U (nonnull count,
@@ -514,8 +486,7 @@ def blocked_mec(
             # window that would funnel every nonmatch through one task.
             U_fit = retain_top_n(U, n_keep, score_col,
                                  tie_cols=("a", "b", "block"),
-                                 n_total=n_U_count,
-                                 n_nonnull=u_nonnull, score_acd=u_acd)
+                                 n_total=n_U_count)
             _tt = _trace("alpha retain_top_n build", _tt)
             # ONE pass over the retained set: minimum-sample positive counts
             # (≥2 positives per cpar var or valid fallback) fused with the

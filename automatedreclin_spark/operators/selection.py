@@ -242,6 +242,206 @@ def _dup_scan_first(narrow: DataFrame, block_col: str, ascending: bool,
             .filter(F.col("_rk") == 1).drop("_rk"))
 
 
+#: tie-front fast round (VERDICT r5 #1): only attempted after a LOW-YIELD
+#: round — one that removed less than this fraction of the residual. A
+#: front-loaded giant tie class is the only structure that produces such
+#: rounds (the per-block row prefix covers few distinct records inside a
+#: tie, BENCH.md round-5 runs 6-7); spread-score fits remove most of the
+#: residual every round and never pay the detection passes.
+_TIE_FRONT_MAX_YIELD = 0.10
+#: also attempted WITHIN a round, right after a sweep that selected fewer
+#: than this fraction of the ν-proxy (Σ_cap0) on a still-huge residual —
+#: catches the tie front in its first round instead of after one wasted
+#: residual materialization. Pure heuristics: the zip itself is exact
+#: whenever its own completeness/budget gates pass, so a mis-trigger costs
+#: passes, never correctness.
+_TIE_FRONT_SEL_FRAC = 0.01
+#: residuals below this skip tie-front detection outright (the prefix
+#: sweep finishes small residuals faster than the detection passes cost)
+_TIE_FRONT_MIN_REMAINING = 5_000_000
+
+
+def _tie_front_zip_round(
+    remaining: DataFrame, sizes: DataFrame, block_col: str, ascending: bool,
+    invalid_to_never: bool, growth: int, n_blocks: int | None = None,
+    used: list | None = None,
+) -> tuple[DataFrame | None, list]:
+    """Exact selection of the FRONT score-tie class for blocks whose
+    remaining pair set is a COMPLETE bipartite product, computed driver-side
+    from an exception-compressed representation.
+
+    Structure: per eligible block, remaining = A'×B' (certified by
+    n_rows == |A'|·|B'| — the residual rounds preserve completeness because
+    they only ever remove whole rows/columns of used records), and the
+    front tie class = A'×B' minus the other classes E (everything whose
+    never-remapped sort key differs from the block's best). Within a tie
+    class the greedy scan order is (a asc, b asc), which reduces to
+    "ascending a takes its minimum available non-excepted b" — computable
+    exactly on the driver from (sorted A', sorted B', E) with a
+    path-compressed next-free-successor sweep, instead of shipping the
+    whole multi-hundred-million-row class through per-block row prefixes
+    that select ~1 pair per |B'| rows.
+
+    Eligibility gates (all per block): complete product; the front class is
+    at least the round's would-be prefix (else the normal sweep handles it
+    in one go); the exception set and the id lists fit the driver collect
+    budget (MAX_BOUNDARY_COLLECT total). Ineligible blocks fall through to
+    the unchanged prefix sweep — exactness never depends on the gates.
+
+    Returns (selected rows as an eagerly-materialized DataFrame or None,
+    list of handled block ids). Every class row of a handled block touches
+    a selected/used record afterwards (each a either selects or has all its
+    class b's used; likewise b), so the standard residual anti-join clears
+    the whole class this round.
+    """
+    from collections import defaultdict
+
+    from pyspark.sql import types as T
+
+    spark = remaining.sparkSession
+    key = _never_sort_key(ascending, invalid_to_never)
+    kk = key if ascending else -key
+    never_kk = float("inf")  # the remapped "never" class in kk-space
+    work = remaining.withColumn("_kk", kk)
+    _t = time.time()
+    # pass 1: per-block completeness + front value + id-cardinality gates
+    # (bounded output — one row per block; no id sets collected yet)
+    cand = (
+        work.groupBy(block_col).agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.count_distinct("a").alias("_da"),
+            F.count_distinct("b").alias("_db"),
+            F.min("_kk").alias("_front"),
+        )
+        .join(sizes, block_col)
+        .filter(
+            (F.col("_n") == F.col("_da") * F.col("_db"))
+            & (F.col("_n") >= F.lit(growth) * F.col("_cap0"))
+            & (F.col("_da") + F.col("_db") <= F.lit(MAX_BOUNDARY_COLLECT))
+        )
+        .collect()
+    )
+    _t = _trace(f"tie-front stats agg candidates={len(cand)}", _t)
+    if not cand:
+        return None, []
+    if len(cand) > 10_000 and (n_blocks is None or len(cand) != n_blocks):
+        # an isin() literal list this long would bloat every subsequent plan;
+        # a many-block candidate set is not the few-giant-blocks structure
+        # this path exists for anyway
+        return None, []
+    all_blocks = n_blocks is not None and len(cand) == n_blocks
+
+    def _cand_only(df: DataFrame) -> DataFrame:
+        return df if all_blocks else df.filter(
+            F.col(block_col).isin([r[block_col] for r in cand]))
+
+    blk_field = remaining.schema[block_col]
+    front_df = F.broadcast(spark.createDataFrame(
+        [(r[block_col], float(r["_front"])) for r in cand],
+        schema=T.StructType([
+            T.StructField(block_col, blk_field.dataType),
+            T.StructField("_front", T.DoubleType()),
+        ]),
+    ))
+    # pass 2: the exception set E (everything not in the front class),
+    # LIMIT-guarded — a spread-score round aborts this collect after the
+    # first budget-breaking partition instead of counting E separately
+    e_pdf = (
+        _cand_only(work)
+        .join(front_df, block_col)
+        .filter(F.col("_kk") != F.col("_front"))
+        .select(block_col, "a", "b")
+        .limit(MAX_BOUNDARY_COLLECT + 1)
+        .toPandas()
+    )
+    _t = _trace(f"tie-front E collect |E|={len(e_pdf)}", _t)
+    if len(e_pdf) > MAX_BOUNDARY_COLLECT:
+        return None, []
+    e_cnt = e_pdf.groupby(block_col).size().to_dict() if len(e_pdf) else {}
+    # re-gate with the REAL front-class size (pass 1 used |block| as proxy)
+    zip_blocks = [
+        r[block_col] for r in cand
+        if int(r["_n"]) - int(e_cnt.get(r[block_col], 0))
+        >= growth * int(r["_cap0"])
+    ]
+    if not zip_blocks:
+        return None, []
+    fronts = {r[block_col]: float(r["_front"]) for r in cand}
+    # pass 3: the id universes of the zip blocks (bounded by the pass-1
+    # da+db gate), one grouped collect
+    id_rows = (
+        work.filter(F.col(block_col).isin(zip_blocks))
+        .groupBy(block_col)
+        .agg(F.collect_set("a").alias("_as"), F.collect_set("b").alias("_bs"))
+        .collect()
+    )
+    _t = _trace("tie-front id collect", _t)
+
+    e_by: dict = defaultdict(set)
+    zset_blocks = set(zip_blocks)
+    if len(e_pdf):
+        for blk, a, b in e_pdf.itertuples(index=False, name=None):
+            if blk in zset_blocks:
+                e_by[(blk, a)].add(b)
+    used_a: dict = defaultdict(set)
+    used_b: dict = defaultdict(set)
+    for blk, a, b in (used or ()):
+        used_a[blk].add(a)
+        used_b[blk].add(b)
+
+    selected: list[tuple] = []
+    for row in id_rows:
+        blk = row[block_col]
+        As = sorted(x for x in row["_as"] if x not in used_a[blk])
+        Bs = sorted(x for x in row["_bs"] if x not in used_b[blk])
+        nb = len(Bs)
+        parent = list(range(nb + 1))  # next-free successor (path-compressed)
+
+        def find(j: int) -> int:
+            root = j
+            while parent[root] != root:
+                root = parent[root]
+            while parent[j] != root:
+                parent[j], j = root, parent[j]
+            return root
+
+        for a in As:
+            ea = e_by.get((blk, a), ())
+            j = find(0)
+            while j < nb and Bs[j] in ea:
+                j = find(j + 1)
+            if j >= nb:
+                continue  # every free b excepted for this a — unmatched
+            parent[j] = j + 1
+            selected.append((blk, a, Bs[j]))
+    _t = _trace(f"tie-front driver sweep selected={len(selected)}", _t)
+    if not selected:
+        return None, []
+    out_schema = remaining.select(block_col, "a", "b").schema
+    if (set(remaining.columns) == {block_col, "a", "b", "ratio"}
+            and all(fronts[b_] != never_kk for b_ in zip_blocks)):
+        # finite front classes carry ONE raw ratio value per block (the
+        # never-remap only rewrites to ±Inf), so the selected rows can be
+        # CONSTRUCTED outright — no rejoin pass over the residual
+        raw = {b_: (fronts[b_] if ascending else -fronts[b_])
+               for b_ in zip_blocks}
+        vals = {c: None for c in remaining.columns}
+        rows = []
+        for blk, a, b in selected:
+            vals[block_col], vals["a"], vals["b"] = blk, a, b
+            vals["ratio"] = raw[blk]
+            rows.append(tuple(vals[c] for c in remaining.columns))
+        sel = cut_lineage(spark.createDataFrame(rows, schema=remaining.schema))
+    else:
+        # the "never" class mixes raw NULL/NaN(/negative) ratios — fetch the
+        # actual rows with a broadcast semi join
+        kdf = spark.createDataFrame(selected, schema=out_schema)
+        sel = cut_lineage(remaining.join(
+            F.broadcast(kdf), [block_col, "a", "b"], "left_semi"))
+    _trace("tie-front selected materialize", _t)
+    return sel, zip_blocks
+
+
 def _blocked_survivors_chunked(
     narrow: DataFrame,
     block_col: str,
@@ -303,41 +503,92 @@ def _blocked_survivors_chunked(
     remaining = narrow
     n_remaining = n_pairs
     growth = 1
+    n_prev_entering: int | None = None
+    sum_cap0: int | None = None
     for round_no in range(_BLOCK_CHUNK_MAX_ROUNDS):
         _t = time.time()
-        base, prefilter_modes = remaining, None
-        if (n_remaining is not None and n_remaining > _BLOCK_PREFILTER_MIN
-                and n_blocks <= _BLOCK_PREFILTER_MAX_BLOCKS):
-            # cut each block to an exact superset of its top capr rows so the
-            # window below sorts ~Σ capr rows, not |remaining|
-            base, prefilter_modes = _block_top_prefilter(
+        n_entering = n_remaining
+        # tie-front fast round, trigger 1: the PREVIOUS round was low-yield
+        # (removed <10% of the residual) — the signature of a front-loaded
+        # giant tie class (BENCH.md r5 runs 6-7); spread-score rounds remove
+        # most of the residual and never reach this.
+        zip_sel, zip_blocks = None, []
+        if (n_prev_entering is not None and n_remaining is not None
+                and n_remaining > _TIE_FRONT_MIN_REMAINING
+                and n_remaining > (1.0 - _TIE_FRONT_MAX_YIELD) * n_prev_entering):
+            zip_sel, zip_blocks = _tie_front_zip_round(
                 remaining, sizes, block_col, ascending, invalid_to_never,
-                growth)
-            _t = _trace(f"chunked-sweep r{round_no} prefilter", _t)
-        chunk = (
-            base.withColumn("_rk", F.row_number().over(w))
-            .join(sizes, block_col)
-            .filter(F.col("_rk") <= growth * F.col("_cap0"))
-            .select(*narrow.columns)
-        )
-        sel = cut_lineage(chunk.groupBy(block_col).applyInPandas(
-            lambda pdf: _block_greedy_pdf(pdf, False, ascending,
-                                          invalid_to_never),
-            schema=narrow.schema,
-        ))
-        _t = _trace(f"chunked-sweep r{round_no} sort+sweep", _t)
-        if prefilter_modes is not None:
-            prefilter_modes.unpersist()
-        parts.append(sel)
+                growth, n_blocks=n_blocks)
+            _t = _trace(f"chunked-sweep r{round_no} tie-front(prev-yield) "
+                        f"blocks={len(zip_blocks)}", _t)
+        sel = None
+        if len(zip_blocks) < n_blocks:
+            base = remaining if not zip_blocks else remaining.filter(
+                ~F.col(block_col).isin(zip_blocks))
+            prefilter_modes = None
+            if (n_remaining is not None and n_remaining > _BLOCK_PREFILTER_MIN
+                    and n_blocks <= _BLOCK_PREFILTER_MAX_BLOCKS):
+                # cut each block to an exact superset of its top capr rows so
+                # the window below sorts ~Σ capr rows, not |remaining|
+                base, prefilter_modes = _block_top_prefilter(
+                    base, sizes, block_col, ascending, invalid_to_never,
+                    growth)
+                _t = _trace(f"chunked-sweep r{round_no} prefilter", _t)
+            chunk = (
+                base.withColumn("_rk", F.row_number().over(w))
+                .join(sizes, block_col)
+                .filter(F.col("_rk") <= growth * F.col("_cap0"))
+                .select(*narrow.columns)
+            )
+            sel = cut_lineage(chunk.groupBy(block_col).applyInPandas(
+                lambda pdf: _block_greedy_pdf(pdf, False, ascending,
+                                              invalid_to_never),
+                schema=narrow.schema,
+            ))
+            _t = _trace(f"chunked-sweep r{round_no} sort+sweep", _t)
+            if prefilter_modes is not None:
+                prefilter_modes.unpersist()
+        # trigger 2 (within-round): the sweep selected almost nothing on a
+        # still-huge residual — the tie front is HERE; zip the front class
+        # now, treating this round's selections as used records, and save
+        # the low-yield residual materializations the r5 trace measured at
+        # ~58% of the iteration-2 select wall.
+        if (zip_sel is None and sel is not None and n_remaining is not None
+                and n_remaining > _TIE_FRONT_MIN_REMAINING):
+            if sum_cap0 is None:
+                sum_cap0 = int(sizes.agg(
+                    F.sum("_cap0")).collect()[0][0] or 0)
+            n_sel = sel.count()
+            if n_sel < _TIE_FRONT_SEL_FRAC * sum_cap0:
+                used_keys = [tuple(r) for r in
+                             sel.select(block_col, "a", "b").collect()]
+                zip_sel, zip_blocks = _tie_front_zip_round(
+                    remaining, sizes, block_col, ascending, invalid_to_never,
+                    growth, n_blocks=n_blocks, used=used_keys)
+                _t = _trace(f"chunked-sweep r{round_no} tie-front(low-sel) "
+                            f"blocks={len(zip_blocks)}", _t)
+        if sel is not None and zip_sel is not None:
+            # both sides are already materialized; the union is only the
+            # residual anti-join's build side — no extra checkpoint needed
+            sel_all = sel.unionByName(zip_sel)
+        else:
+            sel_all = sel if sel is not None else zip_sel
+        if sel is not None:
+            parts.append(sel)
+        if zip_sel is not None:
+            parts.append(zip_sel)
         nxt = cut_lineage(
             remaining
-            .join(sel.select(block_col, "a"), [block_col, "a"], "left_anti")
-            .join(sel.select(block_col, "b"), [block_col, "b"], "left_anti")
+            .join(sel_all.select(block_col, "a"), [block_col, "a"],
+                  "left_anti")
+            .join(sel_all.select(block_col, "b"), [block_col, "b"],
+                  "left_anti")
         )
         remaining.unpersist()
         remaining = nxt
         n_rem = remaining.count()
         _trace(f"chunked-sweep r{round_no} residual n_rem={n_rem}", _t)
+        n_prev_entering = n_entering
         n_remaining = n_rem
         if round_log is not None:
             round_log.append((round_no, n_rem))
@@ -868,7 +1119,11 @@ def _order_cols(cols: list[str], descs: list[bool]):
 #: in the MEC fits are arithmetic over a handful of distinct gamma values,
 #: so this path fires at every scale — truly continuous scores exceed the
 #: gate and take the rank-bracket sketch path below unchanged.
-_EXACT_HIST_MAX_GROUPS = 65_536
+#: 1M groups ≈ a 40 MB driver collect — comfortably bounded, and wide
+#: enough that the heavy anchor's tie-class levels (≈150k distinct record
+#: ids inside a 320M-row score tie) stay on the exact-histogram path
+#: instead of falling back to the multi-pass sketch machinery.
+_EXACT_HIST_MAX_GROUPS = 1_048_576
 #: approx_count_distinct (default rsd 5%) gate with head-room so a true
 #: count marginally above the cap cannot sneak past the estimate; the
 #: collect itself re-checks the exact group count and falls back.

@@ -808,6 +808,116 @@ def test_chunked_sweep_complete_bipartite_tie_front(spark, monkeypatch):
     assert log[-1][1] == 0
 
 
+def _one_shot_survivors_generic(sel, df, ascending=False,
+                                invalid_to_never=False):
+    return set(map(tuple, df.groupBy("block").applyInPandas(
+        lambda pdf: sel._block_greedy_pdf(pdf, False, ascending,
+                                          invalid_to_never),
+        schema=df.schema,
+    ).select("a", "b").collect()))
+
+
+def _zip_patches(monkeypatch, sel):
+    monkeypatch.setattr(sel, "_BLOCK_CHUNK_FLOOR", 8)
+    monkeypatch.setattr(sel, "_BLOCK_CHUNK_FACTOR", 1)
+    monkeypatch.setattr(sel, "_BLOCK_CHUNK_GROWTH", 2)
+    monkeypatch.setattr(sel, "_TIE_FRONT_MIN_REMAINING", 0)
+
+
+@pytest.mark.parametrize("scenario", [
+    "complete_tie_front",       # full-product tie class → pure zip
+    "tie_front_with_exceptions",  # product minus holes → zip must skip E
+    "incomplete_block",         # sparse pair set → zip must NOT fire
+    "mixed_blocks",             # one tie-front block + one spread block
+    "nan_never_class",          # NaN ratios remapped to the never class
+    "ascending_inverted",       # inverted-MEC orientation
+])
+def test_tie_front_zip_round_exactness(spark, monkeypatch, scenario):
+    """The r6 tie-front fast round (driver-side zip-with-exceptions over the
+    front score-tie class of COMPLETE blocks) must select exactly the
+    one-shot per-block greedy survivor set on every structure, including the
+    ones where its gates must keep it off."""
+    import numpy as np
+
+    import automatedreclin_spark.operators.selection as sel
+
+    rng = np.random.default_rng(23)
+    ascending = scenario == "ascending_inverted"
+    inv = ascending
+    n_rec = 30
+    rows = []
+    if scenario in ("complete_tie_front", "ascending_inverted"):
+        for i in range(n_rec):
+            for j in range(n_rec):
+                # tiny scored tail BEHIND the front (above 1.0 in ascending
+                # order, below it in descending) so the common 1.0 class is
+                # the front tie class
+                r = 1.0 if (i + j) % 11 else (2.0 if ascending else 0.5)
+                rows.append((1, i, 1000 + j, r))
+    elif scenario == "tie_front_with_exceptions":
+        for i in range(n_rec):
+            for j in range(n_rec):
+                # exceptions sort BEHIND the 1.0 front class (descending)
+                r = 0.5 if (i * 31 + j * 17) % 7 == 0 else 1.0
+                rows.append((1, i, 1000 + j, r))
+    elif scenario == "incomplete_block":
+        for i in range(n_rec):
+            for j in range(n_rec):
+                if (i + j) % 3 == 0:
+                    continue  # holes → not a complete product
+                rows.append((1, i, 1000 + j, 1.0))
+    elif scenario == "mixed_blocks":
+        for i in range(n_rec):
+            for j in range(n_rec):
+                rows.append((1, i, 1000 + j, 1.0))
+                rows.append((2, i, 1000 + j, float((i * 37 + j) % 100)))
+    else:  # nan_never_class
+        for i in range(n_rec):
+            for j in range(n_rec):
+                r = float("nan") if (i + j) % 11 else 2.0
+                rows.append((1, i, 1000 + j, r))
+    pdf = pd.DataFrame(rows, columns=["block", "a", "b", "ratio"])
+    df = spark.createDataFrame(
+        pdf, schema="block long, a long, b long, ratio double")
+    want = _one_shot_survivors_generic(sel, df, ascending, inv)
+
+    _zip_patches(monkeypatch, sel)
+    log: list = []
+    got = set(map(tuple, sel._blocked_survivors_chunked(
+        df.select("block", "a", "b", "ratio"), "block", ascending, inv,
+        round_log=log, n_pairs=len(pdf),
+    ).select("a", "b").collect()))
+    assert got == want, (scenario, len(got), len(want))
+    assert log[-1][1] == 0
+
+
+def test_tie_front_zip_cuts_rounds_vs_gated_off(spark, monkeypatch):
+    """On the giant complete-bipartite tie class the zip must finish in far
+    fewer rounds than the prefix-only path (the structure behind the heavy
+    anchor's 427-489 s iteration-2 select), with an identical result."""
+    import automatedreclin_spark.operators.selection as sel
+
+    n_rec = 40
+    pdf = pd.DataFrame([
+        {"block": 1, "a": i, "b": 1000 + j, "ratio": 1.0}
+        for i in range(n_rec) for j in range(n_rec)
+    ])
+    df = spark.createDataFrame(pdf)
+    want = {(i, 1000 + i) for i in range(n_rec)}
+
+    _zip_patches(monkeypatch, sel)
+    log: list = []
+    got = set(map(tuple, sel._blocked_survivors_chunked(
+        df.select("block", "a", "b", "ratio"), "block", False, False,
+        round_log=log, n_pairs=len(pdf),
+    ).select("a", "b").collect()))
+    assert got == want
+    # prefix-only needed ≥4 rounds here (see the gated-off test above);
+    # the within-round zip trigger must clear the class in round 0-1
+    assert len(log) <= 2, log
+    assert log[-1][1] == 0
+
+
 def test_chunked_sweep_adversarial_chain_across_boundaries(spark, monkeypatch):
     """Chain-structured ratios inside one block (pair i rejects pair i+1)
     with a chunk cap far smaller than the chain: the prefix rounds must
