@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from automatedreclin_spark.operators.util import cut_lineage
+from automatedreclin_spark.operators.util import cut_lineage, release_checkpoint
 
 
 def _canonical(edges: DataFrame) -> DataFrame:
@@ -142,7 +142,7 @@ def connected_components(
     out = _materialize(out, max_iter)
     for df in spill:
         if checkpoint_dir is None:
-            df.unpersist()
+            release_checkpoint(df)
     return out
 
 

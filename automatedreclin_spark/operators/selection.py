@@ -37,7 +37,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from automatedreclin_spark.operators.util import cut_lineage
+from automatedreclin_spark.operators.util import cut_lineage, release_checkpoint
 
 
 def _round_half_even(x: float) -> int:
@@ -221,7 +221,7 @@ def _block_top_prefilter(
         )
         .select(*remaining.columns)
     )
-    cuts.unpersist()
+    release_checkpoint(cuts)
     # modes stays referenced by `out`'s lazy plan — the caller unpersists it
     # once the round's selection has materialized.
     return out, modes
@@ -259,6 +259,13 @@ _TIE_FRONT_SEL_FRAC = 0.01
 #: residuals below this skip tie-front detection outright (the prefix
 #: sweep finishes small residuals faster than the detection passes cost)
 _TIE_FRONT_MIN_REMAINING = 5_000_000
+#: driver collect budget for the front class's exception set (the rows NOT
+#: in the front class, i.e. the residual's other score classes): three
+#: longs per row through Arrow, ~200 MB of driver structures at the cap.
+#: The heavy anchor's iteration-2 front class leaves |E| ≈ 4M of its 397M
+#: residual rows — comfortably inside; a spread-score round fails the
+#: PARALLEL count gate below without collecting anything.
+_TIE_FRONT_E_MAX = 8_000_000
 
 
 def _tie_front_zip_round(
@@ -343,30 +350,48 @@ def _tie_front_zip_round(
             T.StructField("_front", T.DoubleType()),
         ]),
     ))
-    # pass 2: the exception set E (everything not in the front class),
-    # LIMIT-guarded — a spread-score round aborts this collect after the
-    # first budget-breaking partition instead of counting E separately
-    e_pdf = (
+    # pass 2: COUNT the exception set E (everything not in the front class)
+    # per block — one fully-parallel aggregation. (A LIMIT-guarded collect
+    # was tried instead and measured 238.7 s at the heavy anchor when E
+    # exceeded the budget: CollectLimit evaluates partitions in small
+    # incremental batches, serializing the scan it was meant to bound.)
+    ec_rows = (
         _cand_only(work)
         .join(front_df, block_col)
-        .filter(F.col("_kk") != F.col("_front"))
-        .select(block_col, "a", "b")
-        .limit(MAX_BOUNDARY_COLLECT + 1)
-        .toPandas()
+        .groupBy(block_col)
+        .agg(F.count(F.when(F.col("_kk") != F.col("_front"), 1)).alias("_ec"))
+        .collect()
     )
-    _t = _trace(f"tie-front E collect |E|={len(e_pdf)}", _t)
-    if len(e_pdf) > MAX_BOUNDARY_COLLECT:
-        return None, []
-    e_cnt = e_pdf.groupby(block_col).size().to_dict() if len(e_pdf) else {}
-    # re-gate with the REAL front-class size (pass 1 used |block| as proxy)
-    zip_blocks = [
-        r[block_col] for r in cand
-        if int(r["_n"]) - int(e_cnt.get(r[block_col], 0))
+    _t = _trace("tie-front exception-count agg", _t)
+    e_cnt = {r[block_col]: int(r["_ec"]) for r in ec_rows}
+    # re-gate with the REAL front-class size (pass 1 used |block| as proxy),
+    # largest exception sets dropped first if the total busts the budget
+    eligible = [
+        r for r in cand
+        if int(r["_n"]) - e_cnt.get(r[block_col], 0)
         >= growth * int(r["_cap0"])
     ]
+    eligible.sort(key=lambda r: e_cnt.get(r[block_col], 0))
+    zip_blocks = []
+    budget = _TIE_FRONT_E_MAX
+    for r in eligible:
+        e = e_cnt.get(r[block_col], 0)
+        if e <= budget:
+            zip_blocks.append(r[block_col])
+            budget -= e
     if not zip_blocks:
         return None, []
     fronts = {r[block_col]: float(r["_front"]) for r in cand}
+    zblk_set = set(zip_blocks)
+    # pass 2b: collect E for the zip blocks (bounded by the budget above)
+    e_pdf = (
+        work.filter(F.col(block_col).isin(zip_blocks))
+        .join(front_df, block_col)
+        .filter(F.col("_kk") != F.col("_front"))
+        .select(block_col, "a", "b")
+        .toPandas()
+    )
+    _t = _trace(f"tie-front E collect |E|={len(e_pdf)}", _t)
     # pass 3: the id universes of the zip blocks (bounded by the pass-1
     # da+db gate), one grouped collect
     id_rows = (
@@ -378,10 +403,9 @@ def _tie_front_zip_round(
     _t = _trace("tie-front id collect", _t)
 
     e_by: dict = defaultdict(set)
-    zset_blocks = set(zip_blocks)
     if len(e_pdf):
         for blk, a, b in e_pdf.itertuples(index=False, name=None):
-            if blk in zset_blocks:
+            if blk in zblk_set:
                 e_by[(blk, a)].add(b)
     used_a: dict = defaultdict(set)
     used_b: dict = defaultdict(set)
@@ -513,9 +537,11 @@ def _blocked_survivors_chunked(
         # giant tie class (BENCH.md r5 runs 6-7); spread-score rounds remove
         # most of the residual and never reach this.
         zip_sel, zip_blocks = None, []
+        zip_attempted = False
         if (n_prev_entering is not None and n_remaining is not None
                 and n_remaining > _TIE_FRONT_MIN_REMAINING
                 and n_remaining > (1.0 - _TIE_FRONT_MAX_YIELD) * n_prev_entering):
+            zip_attempted = True
             zip_sel, zip_blocks = _tie_front_zip_round(
                 remaining, sizes, block_col, ascending, invalid_to_never,
                 growth, n_blocks=n_blocks)
@@ -547,13 +573,13 @@ def _blocked_survivors_chunked(
             ))
             _t = _trace(f"chunked-sweep r{round_no} sort+sweep", _t)
             if prefilter_modes is not None:
-                prefilter_modes.unpersist()
+                release_checkpoint(prefilter_modes)
         # trigger 2 (within-round): the sweep selected almost nothing on a
         # still-huge residual — the tie front is HERE; zip the front class
         # now, treating this round's selections as used records, and save
         # the low-yield residual materializations the r5 trace measured at
         # ~58% of the iteration-2 select wall.
-        if (zip_sel is None and sel is not None and n_remaining is not None
+        if (not zip_attempted and sel is not None and n_remaining is not None
                 and n_remaining > _TIE_FRONT_MIN_REMAINING):
             if sum_cap0 is None:
                 sum_cap0 = int(sizes.agg(
@@ -584,7 +610,7 @@ def _blocked_survivors_chunked(
             .join(sel_all.select(block_col, "b"), [block_col, "b"],
                   "left_anti")
         )
-        remaining.unpersist()
+        release_checkpoint(remaining)
         remaining = nxt
         n_rem = remaining.count()
         _trace(f"chunked-sweep r{round_no} residual n_rem={n_rem}", _t)
@@ -593,7 +619,7 @@ def _blocked_survivors_chunked(
         if round_log is not None:
             round_log.append((round_no, n_rem))
         if n_rem == 0:
-            remaining.unpersist()
+            release_checkpoint(remaining)
             break
         growth *= _BLOCK_CHUNK_GROWTH
     else:
@@ -606,8 +632,8 @@ def _blocked_survivors_chunked(
         out = out.unionByName(p)
     out = cut_lineage(out)
     for p in parts:
-        p.unpersist()
-    sizes.unpersist()
+        release_checkpoint(p)
+    release_checkpoint(sizes)
     return out
 
 
@@ -777,7 +803,14 @@ def select_mec_pairs(
             n_selected = min(n_target, survivors.count())
             sel = _truncate_to_budget(survivors, n_target, ascending,
                                       invalid_to_never)
-            keys = sel.select("a", "b")
+            # Materialize the truncated KEY set and release the survivor
+            # checkpoint immediately (ADVICE r5 #1): repeated large
+            # unblocked fits in one session otherwise pin one survivor-sized
+            # block per fit for the session's lifetime. What remains held
+            # per call is the selected key set alone (two ids per selected
+            # pair) — the minimum the returned lazy semi join needs.
+            keys = cut_lineage(sel.select("a", "b"))
+            release_checkpoint(survivors)
             if _broadcast_selected_keys(n_selected, keys):
                 keys = F.broadcast(keys)
             selected = work.join(keys, ["a", "b"], "left_semi")
@@ -1592,7 +1625,7 @@ def greedy_one_to_one_distributed(
         while n_rem > 0:
             if n_rem <= chunk:
                 part = _finish_local(rem)
-                rem.unpersist()
+                release_checkpoint(rem)
                 if part is not None:
                     parts.append(part)
                 return parts
@@ -1607,10 +1640,10 @@ def greedy_one_to_one_distributed(
                 rem.join(part.select("a"), "a", "left_anti")
                 .join(part.select("b"), "b", "left_anti")
             )
-            rem.unpersist()
+            release_checkpoint(rem)
             rem = nxt
             n_rem = rem.count()
-        rem.unpersist()
+        release_checkpoint(rem)
         return parts
 
     selected_parts: list[DataFrame] = []
@@ -1620,7 +1653,7 @@ def greedy_one_to_one_distributed(
         if round_log is not None:
             round_log.append((round_no, n_rem))
         if n_rem == 0:
-            remaining.unpersist()
+            release_checkpoint(remaining)
             break
         if n_rem <= _MUTUAL_BEST_FINISH_LOCAL or round_no == _MUTUAL_BEST_MAX_ROUNDS:
             # Residual fits the driver — or the round cap hit first (chain-
@@ -1659,8 +1692,8 @@ def greedy_one_to_one_distributed(
             remaining.join(sel.select("a"), "a", "left_anti")
             .join(sel.select("b"), "b", "left_anti")
         )
-        remaining.unpersist()
-        sel.unpersist()
+        release_checkpoint(remaining)
+        release_checkpoint(sel)
         remaining = new_remaining
 
     if not selected_parts:
@@ -1675,5 +1708,5 @@ def greedy_one_to_one_distributed(
     # may .unpersist() the returned frame once consumed.
     out = cut_lineage(out)
     for part in selected_parts:
-        part.unpersist()
+        release_checkpoint(part)
     return out

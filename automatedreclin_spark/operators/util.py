@@ -28,6 +28,29 @@ def ensure_parallelism(df: DataFrame, factor: int = 1) -> DataFrame:
     return df
 
 
+def release_checkpoint(df: DataFrame) -> None:
+    """Immediately release the storage behind a ``cut_lineage``/
+    ``localCheckpoint`` frame that is DEAD (every consumer has materialized).
+
+    ``DataFrame.unpersist()`` is a silent no-op for checkpointed frames —
+    the blocks belong to an RDD, not a CacheManager entry, and are otherwise
+    only reclaimed when the ContextCleaner notices the RDD is unreachable
+    (unbounded lag in a long session; measured: repeated distributed-greedy
+    fits each pinned every per-round residual until then). This walks the
+    analyzed plan's LogicalRDD leaves and unpersists their RDDs directly.
+
+    DANGER: a checkpointed frame has no lineage to recompute from — only
+    call this when nothing will scan the frame again."""
+    try:
+        it = df._jdf.queryExecution().analyzed().collectLeaves().iterator()
+        while it.hasNext():
+            leaf = it.next()
+            if leaf.getClass().getSimpleName() == "LogicalRDD":
+                leaf.rdd().unpersist(False)
+    except Exception:  # best-effort: storage release must never fail a job
+        pass
+
+
 def cut_lineage(df: DataFrame, eager: bool = True) -> DataFrame:
     """Materialize ``df`` and cut its lineage — the per-round step of every
     iterative loop (mutual-best selection, connected components).

@@ -20,6 +20,7 @@ def get_spark(
     cpus: int | str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    master: str | None = None,
 ) -> SparkSession:
     """Create (or reuse) a SparkSession with linkage-appropriate defaults.
 
@@ -46,8 +47,11 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
 
+    # `master` overrides the default local[cpus] — used by the
+    # local-cluster[N,C,M] executor-boundary smoke (real executor JVMs, real
+    # serialization/broadcast/shuffle service, scripts/bench_local_cluster.py)
     builder = (
-        SparkSession.builder.master(f"local[{cpus}]")
+        SparkSession.builder.master(master or f"local[{cpus}]")
         .appName(app_name)
         # Adaptive execution: runtime coalescing of shuffle partitions and
         # skew-join splitting — hot blocks in the candidate-pair join get

@@ -918,6 +918,40 @@ def test_tie_front_zip_cuts_rounds_vs_gated_off(spark, monkeypatch):
     assert log[-1][1] == 0
 
 
+def test_distributed_greedy_releases_round_storage(spark, monkeypatch):
+    """Repeated unblocked distributed fits must not accumulate survivor-set
+    checkpoints (ADVICE r5 #1): after each select_mec_pairs call, the only
+    storage still held for that call is the selected KEY set — the per-round
+    residual/selection checkpoints and the consolidated survivor set are all
+    released before return."""
+    import numpy as np
+
+    import automatedreclin_spark.operators.selection as sel
+
+    monkeypatch.setattr(sel, "MAX_UNBLOCKED_COLLECT", 0)
+
+    rng = np.random.default_rng(5)
+    n = 3000
+    pdf = pd.DataFrame({
+        "a": rng.integers(1, 500, n), "b": rng.integers(1000, 1500, n),
+        "ratio": rng.random(n),
+    }).drop_duplicates(["a", "b"])
+    omega = spark.createDataFrame(pdf)
+
+    def n_persisted() -> int:
+        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    base = n_persisted()
+    for _ in range(3):
+        out = sel.select_mec_pairs(omega, 50.0, n_pairs=len(pdf))
+        assert out.count() == 50
+    growth = n_persisted() - base
+    # one key-set checkpoint per call is the documented residue; the old
+    # path additionally pinned the full survivor set (and before r5, every
+    # round's residual)
+    assert growth <= 3, growth
+
+
 def test_chunked_sweep_adversarial_chain_across_boundaries(spark, monkeypatch):
     """Chain-structured ratios inside one block (pair i rejects pair i+1)
     with a chunk cap far smaller than the chain: the prefix rounds must
