@@ -115,11 +115,25 @@ def _block_greedy_pdf(pdf: pd.DataFrame, duplicates_in_A: bool, ascending: bool,
 #: Above this |Ω| the per-block sweep stops streaming ALL pairs through
 #: Python and switches to the chunked prefix sweep (see
 #: ``_blocked_survivors_chunked``): Arrow transfer becomes O(Σ_h m_h · c)
-#: instead of O(|Ω|). At the 400M-pair heavy anchor the one-shot sweep
-#: shipped ~13 GB through the Python workers PER FIT ITERATION and the
-#: JVM's grouped-map write path degenerated (GCLocker retry storms against
-#: 32 MB humongous allocations, ~50% of the machine in system time).
-BLOCK_SWEEP_CHUNK_MIN = 20_000_000
+#: instead of O(|Ω|).
+#:
+#: The crossover was 20M through r5, set when the one-shot sweep's
+#: grouped-map writes degenerated at the 400M-pair heavy anchor (GCLocker
+#: retry storms, ~50% system time) — a pathology of Spark 4.1's
+#: single-threaded TCP PythonRunner that the Unix-domain-socket channel
+#: (session.py) later eliminated. Re-measured in r6 over the identical
+#: heavy alpha fit: one-shot 322.6 s vs 4-round chunked 674.8 s in
+#: same-quality windows (iteration-2 select 64.3 s vs 366.7 s — the
+#: chunked path's per-round residual materializations dominate on
+#: tie-heavy score distributions), |M_est| bit-identical. 500M keeps
+#: one-shot for everything this sandbox can hold while bounding the
+#: per-iteration Python transfer at ~16 GB; deployments whose BLOCKS are
+#: individually huge (one worker materializes a whole block's pairs —
+#: ~100 bytes/pair of pandas) should lower it via
+#: SPARK_GRAFT_BLOCK_SWEEP_CHUNK_MIN rather than rely on the chunk path's
+#: growth rounds.
+BLOCK_SWEEP_CHUNK_MIN = int(
+    os.environ.get("SPARK_GRAFT_BLOCK_SWEEP_CHUNK_MIN", "500000000"))
 #: first chunk per block = max(_BLOCK_CHUNK_FLOOR, factor · m_h) pairs
 _BLOCK_CHUNK_FACTOR = 4
 _BLOCK_CHUNK_FLOOR = 1024
