@@ -7,7 +7,13 @@ closure serialization, broadcast and shuffle service — at two sizes
 (2x4 and 8x4 cores by default), and checks the match set is IDENTICAL to
 the single-JVM local[8] result (checksum over sorted (a,b)).
 
-Usage: python scripts/bench_local_cluster.py [sf_dir]
+Usage: python scripts/bench_local_cluster.py [sf_dir] [replication]
+
+At sf0.1 the blocked scoring job is ~4M pairs and finishes in ~3 s — pure
+fixed cost (executor launch, python worker pools, broadcast), useless as a
+scaling point. `replication` (default 3) key-offset-replicates the customer
+table first (same deterministic scheme as bench_heavy.py) so the 2x4 vs 8x4
+comparison times real work (~36M pairs at x3).
 
 Appends nothing; prints one JSON line per master plus a summary. Cited from
 BENCH.md / OPTIMIZATION_r06.md.
@@ -92,8 +98,34 @@ def run_one(master: str, sf_dir: str) -> dict:
     return out
 
 
+def _replicated_view(sf_dir: str, repl: int) -> str:
+    """Key-offset-replicate customer x repl into a dir _record_sets can read."""
+    if repl <= 1:
+        return sf_dir
+    heavy_dir = Path(f"/tmp/lc_customer_x{repl}")
+    view_dir = Path(f"/tmp/lc_sf_view_x{repl}")
+    if not (heavy_dir / "_SUCCESS").exists():
+        spark = get_spark(app_name="lc-replicate", cpus=8)
+        base = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        out = base
+        for r in range(1, repl):
+            out = out.unionByName(
+                base.withColumn("c_custkey", F.col("c_custkey") + r * 10_000_000)
+            )
+        out.repartition(32).write.mode("overwrite").parquet(str(heavy_dir))
+        spark.stop()
+        time.sleep(2)
+    view_dir.mkdir(exist_ok=True)
+    link = view_dir / "customer.parquet"
+    if not link.exists():
+        link.symlink_to(heavy_dir)
+    return str(view_dir)
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    repl = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    sf_dir = _replicated_view(sf_dir, repl)
     results = []
     for master, _cores in MASTERS:
         r = run_one(master, sf_dir)
