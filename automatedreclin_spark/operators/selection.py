@@ -117,23 +117,24 @@ def _block_greedy_pdf(pdf: pd.DataFrame, duplicates_in_A: bool, ascending: bool,
 #: ``_blocked_survivors_chunked``): Arrow transfer becomes O(Σ_h m_h · c)
 #: instead of O(|Ω|).
 #:
-#: The crossover was 20M through r5, set when the one-shot sweep's
-#: grouped-map writes degenerated at the 400M-pair heavy anchor (GCLocker
-#: retry storms, ~50% system time) — a pathology of Spark 4.1's
-#: single-threaded TCP PythonRunner that the Unix-domain-socket channel
-#: (session.py) later eliminated. Re-measured in r6 over the identical
-#: heavy alpha fit: one-shot 322.6 s vs 4-round chunked 674.8 s in
-#: same-quality windows (iteration-2 select 64.3 s vs 366.7 s — the
-#: chunked path's per-round residual materializations dominate on
-#: tie-heavy score distributions), |M_est| bit-identical. 500M keeps
-#: one-shot for everything this sandbox can hold while bounding the
-#: per-iteration Python transfer at ~16 GB; deployments whose BLOCKS are
-#: individually huge (one worker materializes a whole block's pairs —
-#: ~100 bytes/pair of pandas) should lower it via
-#: SPARK_GRAFT_BLOCK_SWEEP_CHUNK_MIN rather than rely on the chunk path's
-#: growth rounds.
+#: The r6 heavy-anchor A/B (400M pairs, BENCH.md runs c/d) showed NEITHER
+#: path dominates: on the tie-fronted alpha-fit distribution the one-shot
+#: sweep won (iteration-2 select 64.3 s vs the chunked path's 366.7 s —
+#: its 4 low-yield rounds each materialize a ~400M-row residual), while on
+#: the plain fit's spread distribution the chunked path won (the prefix
+#: sweep transfers ~cap rows and converges in 1-2 rounds: iterations
+#: ~149 s, vs one-shot selects of 150/300 s and a 350 s final summary —
+#: every one-shot select streams all 400M rows through per-block pandas
+#: frames, and the resident-frame memory pressure degrades over the fit).
+#: The resolution is the chunked path's LOW-YIELD ESCALATION (see
+#: ``_blocked_survivors_chunked``): after a low-yield round whose tie-front
+#: zip gates out, the next round sweeps the residual WHOLE — i.e. the
+#: chunked path degenerates to at most (one capped round + one one-shot
+#: round) on adversarial tie fronts, and keeps O(cap) transfer everywhere
+#: else. With that bound the chunked path is the right default at scale,
+#: so the crossover stays at the measured 20M.
 BLOCK_SWEEP_CHUNK_MIN = int(
-    os.environ.get("SPARK_GRAFT_BLOCK_SWEEP_CHUNK_MIN", "500000000"))
+    os.environ.get("SPARK_GRAFT_BLOCK_SWEEP_CHUNK_MIN", "20000000"))
 #: first chunk per block = max(_BLOCK_CHUNK_FLOOR, factor · m_h) pairs
 _BLOCK_CHUNK_FACTOR = 4
 _BLOCK_CHUNK_FLOOR = 1024
@@ -550,11 +551,13 @@ def _blocked_survivors_chunked(
         # (removed <10% of the residual) — the signature of a front-loaded
         # giant tie class (BENCH.md r5 runs 6-7); spread-score rounds remove
         # most of the residual and never reach this.
+        low_yield_prev = (
+            n_prev_entering is not None and n_remaining is not None
+            and n_remaining > _TIE_FRONT_MIN_REMAINING
+            and n_remaining > (1.0 - _TIE_FRONT_MAX_YIELD) * n_prev_entering)
         zip_sel, zip_blocks = None, []
         zip_attempted = False
-        if (n_prev_entering is not None and n_remaining is not None
-                and n_remaining > _TIE_FRONT_MIN_REMAINING
-                and n_remaining > (1.0 - _TIE_FRONT_MAX_YIELD) * n_prev_entering):
+        if low_yield_prev:
             zip_attempted = True
             zip_sel, zip_blocks = _tie_front_zip_round(
                 remaining, sizes, block_col, ascending, invalid_to_never,
@@ -562,24 +565,41 @@ def _blocked_survivors_chunked(
             _t = _trace(f"chunked-sweep r{round_no} tie-front(prev-yield) "
                         f"blocks={len(zip_blocks)}", _t)
         sel = None
+        full_sweep = False
+        prefilter_modes = None
         if len(zip_blocks) < n_blocks:
             base = remaining if not zip_blocks else remaining.filter(
                 ~F.col(block_col).isin(zip_blocks))
-            prefilter_modes = None
-            if (n_remaining is not None and n_remaining > _BLOCK_PREFILTER_MIN
-                    and n_blocks <= _BLOCK_PREFILTER_MAX_BLOCKS):
-                # cut each block to an exact superset of its top capr rows so
-                # the window below sorts ~Σ capr rows, not |remaining|
-                base, prefilter_modes = _block_top_prefilter(
-                    base, sizes, block_col, ascending, invalid_to_never,
-                    growth)
-                _t = _trace(f"chunked-sweep r{round_no} prefilter", _t)
-            chunk = (
-                base.withColumn("_rk", F.row_number().over(w))
-                .join(sizes, block_col)
-                .filter(F.col("_rk") <= growth * F.col("_cap0"))
-                .select(*narrow.columns)
-            )
+            if low_yield_prev:
+                # ESCALATION (r6 heavy A/B, BENCH.md runs c/d): the previous
+                # round was low-yield and the zip could not clear the
+                # remaining blocks — the signature of a tie front the prefix
+                # rounds would grind through with one ~|residual|-row
+                # materialization per round (measured 366.7 s at the 400M
+                # anchor). Sweep the residual WHOLE instead: one unbudgeted
+                # per-block pass (the one-shot path, measured 64.3 s on the
+                # same residual) selects the exact continuation of every
+                # block's scan and clears it.
+                full_sweep = True
+                chunk = base.select(*narrow.columns)
+                _t = _trace(f"chunked-sweep r{round_no} full-sweep escalation",
+                            _t)
+            else:
+                if (n_remaining is not None
+                        and n_remaining > _BLOCK_PREFILTER_MIN
+                        and n_blocks <= _BLOCK_PREFILTER_MAX_BLOCKS):
+                    # cut each block to an exact superset of its top capr rows
+                    # so the window below sorts ~Σ capr rows, not |remaining|
+                    base, prefilter_modes = _block_top_prefilter(
+                        base, sizes, block_col, ascending, invalid_to_never,
+                        growth)
+                    _t = _trace(f"chunked-sweep r{round_no} prefilter", _t)
+                chunk = (
+                    base.withColumn("_rk", F.row_number().over(w))
+                    .join(sizes, block_col)
+                    .filter(F.col("_rk") <= growth * F.col("_cap0"))
+                    .select(*narrow.columns)
+                )
             sel = cut_lineage(chunk.groupBy(block_col).applyInPandas(
                 lambda pdf: _block_greedy_pdf(pdf, False, ascending,
                                               invalid_to_never),
@@ -593,7 +613,8 @@ def _blocked_survivors_chunked(
         # now, treating this round's selections as used records, and save
         # the low-yield residual materializations the r5 trace measured at
         # ~58% of the iteration-2 select wall.
-        if (not zip_attempted and sel is not None and n_remaining is not None
+        if (not zip_attempted and not full_sweep and sel is not None
+                and n_remaining is not None
                 and n_remaining > _TIE_FRONT_MIN_REMAINING):
             if sum_cap0 is None:
                 sum_cap0 = int(sizes.agg(
@@ -617,6 +638,17 @@ def _blocked_survivors_chunked(
             parts.append(sel)
         if zip_sel is not None:
             parts.append(zip_sel)
+        if full_sweep and not zip_blocks:
+            # Every block was swept whole: a remaining pair the sweep did
+            # not select was rejected because an endpoint is already used,
+            # so the residual is empty by construction — skip the anti-join
+            # materialization and its count pass.
+            release_checkpoint(remaining)
+            _trace(f"chunked-sweep r{round_no} residual cleared (full sweep)",
+                   _t)
+            if round_log is not None:
+                round_log.append((round_no, 0))
+            break
         nxt = cut_lineage(
             remaining
             .join(sel_all.select(block_col, "a"), [block_col, "a"],

@@ -159,8 +159,9 @@ def main() -> None:
             f"{len(applied)} of them): **{alpha_sec:.1f} s**, "
             f"|M_est| = {int(bres.n_M_est):,} — the retention ranks "
             f"~{max(applied) if applied else 0:,} kept U rows per iteration "
-            f"via an exact rank-bracket histogram cut + boundary ties only "
-            f"(no single-partition window, no approxQuantile digest)",
+            f"via an exact value-histogram prefix cut (r6 fast path; "
+            f"rank-bracket fallback above the distinct-count gate — no "
+            f"single-partition window, no approxQuantile digest)",
         ]
 
     print(json.dumps(results))

@@ -918,6 +918,53 @@ def test_tie_front_zip_cuts_rounds_vs_gated_off(spark, monkeypatch):
     assert log[-1][1] == 0
 
 
+def test_low_yield_escalation_full_sweep(spark, monkeypatch):
+    """r6 heavy A/B resolution: when a round is low-yield and the tie-front
+    zip gates out (front class not a complete product minus a small
+    exception set), the NEXT round must sweep the residual WHOLE — one
+    one-shot round instead of grinding prefix rounds with a ~|residual|-row
+    materialization each — and produce exactly the one-shot survivor set."""
+    import automatedreclin_spark.operators.selection as sel
+
+    n_rec = 40
+    rows = []
+    for i in range(n_rec):
+        for j in range(n_rec):
+            if (i * 13 + j * 7) % 3 == 0:
+                continue  # holes everywhere → the complete-product gate refuses
+            rows.append((1, i, 1000 + j, 1.0))
+    pdf = pd.DataFrame(rows, columns=["block", "a", "b", "ratio"])
+    df = spark.createDataFrame(
+        pdf, schema="block long, a long, b long, ratio double")
+    want = _one_shot_survivors_generic(sel, df)
+
+    _zip_patches(monkeypatch, sel)
+    # make the low-yield trigger certain for this small fixture (the natural
+    # 10% threshold is a heavy-anchor heuristic; exactness never depends on it)
+    monkeypatch.setattr(sel, "_TIE_FRONT_MAX_YIELD", 0.95)
+    zip_results: list = []
+    orig_zip = sel._tie_front_zip_round
+
+    def spy(*args, **kw):
+        out = orig_zip(*args, **kw)
+        zip_results.append(out[1])
+        return out
+
+    monkeypatch.setattr(sel, "_tie_front_zip_round", spy)
+    log: list = []
+    got = set(map(tuple, sel._blocked_survivors_chunked(
+        df.select("block", "a", "b", "ratio"), "block", False, False,
+        round_log=log, n_pairs=len(pdf),
+    ).select("a", "b").collect()))
+    assert got == want
+    # the zip must have been attempted and gated out (incomplete block)...
+    assert zip_results and all(len(b) == 0 for b in zip_results), zip_results
+    # ...and the escalation must clear the residual in the round after the
+    # low-yield one: round 0 capped sweep, round 1 full sweep → done.
+    assert len(log) == 2, log
+    assert log[-1][1] == 0
+
+
 def test_distributed_greedy_releases_round_storage(spark, monkeypatch):
     """Repeated unblocked distributed fits must not accumulate survivor-set
     checkpoints (ADVICE r5 #1): after each select_mec_pairs call, the only
